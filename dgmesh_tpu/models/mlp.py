@@ -1,0 +1,152 @@
+"""Deformation / appearance MLPs in flax.linen.
+
+reference: utils/time_utils.py — positional ``Embedder`` :7-55, ``DeformNetwork``
+:58-129 (8×256 ReLU MLP, skip concat at layer D/2, optional 256→30 timenet for
+blender data), ``DeformNetworkNormal`` :132-204 (adds a d_normal head),
+``DeformNetworkNormalSep`` :207-266 (normal-only net, zero-init head), and
+``AppearanceNetwork`` :269-323 (xyz,t → sigmoid RGB).
+
+All forward passes are (N, features) batched matmuls — they run on the MXU in
+bf16-friendly shapes (W=256).  The time axis is a scalar fid broadcast per
+point, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def positional_encoding(x, num_freqs: int, include_input: bool = True):
+    """NeRF positional encoding with log-spaced frequencies 2^0..2^(L-1).
+
+    reference: utils/time_utils.py Embedder :7-55 (include_input=True,
+    log_sampling=True, periodic_fns=[sin, cos]).  Output dim = d*(2L[+1]).
+    """
+    freqs = 2.0 ** jnp.arange(num_freqs, dtype=x.dtype)
+    xb = x[..., None, :] * freqs[:, None]            # (..., L, d)
+    enc = jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-1)
+    enc = enc.reshape(*x.shape[:-1], -1)
+    if include_input:
+        enc = jnp.concatenate([x, enc], axis=-1)
+    return enc
+
+
+class DeformNetwork(nn.Module):
+    """Canonical↔deformed offset field (reference: time_utils.py:58-129).
+
+    Heads: d_xyz (3), d_rotation (4), d_scaling (3) and optionally d_normal (3)
+    when ``with_normal`` (DeformNetworkNormal :132-204).
+    """
+
+    depth: int = 8
+    width: int = 256
+    multires: int = 10
+    is_blender: bool = False
+    with_normal: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, t):
+        t_multires = 6 if self.is_blender else 10
+        t_emb = positional_encoding(t, t_multires)
+        if self.is_blender:
+            h = nn.Dense(256)(t_emb)
+            h = nn.relu(h)
+            t_emb = nn.Dense(30)(h)
+        x_emb = positional_encoding(xyz, self.multires)
+        inp = jnp.concatenate([x_emb, t_emb], axis=-1)
+        skip = self.depth // 2
+        h = inp
+        for i in range(self.depth):
+            h = nn.Dense(self.width)(h)
+            h = nn.relu(h)
+            if i == skip:
+                h = jnp.concatenate([inp, h], axis=-1)
+        d_xyz = nn.Dense(3)(h)
+        d_rot = nn.Dense(4)(h)
+        d_scale = nn.Dense(3)(h)
+        if self.with_normal:
+            d_normal = nn.Dense(3)(h)
+            return d_xyz, d_rot, d_scale, d_normal
+        return d_xyz, d_rot, d_scale
+
+
+class DeformNetworkNormalSep(nn.Module):
+    """Normal-offset-only network with zero-initialized head.
+
+    reference: time_utils.py:207-266 (the `deform_normal` / `deform_back_normal`
+    instances in train.py:78-86); head weight/bias zero-init per :247-249 so
+    d_normal starts at exactly 0.
+    """
+
+    depth: int = 8
+    width: int = 256
+    multires: int = 10
+    is_blender: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, t):
+        t_multires = 6 if self.is_blender else 10
+        t_emb = positional_encoding(t, t_multires)
+        if self.is_blender:
+            h = nn.Dense(256)(t_emb)
+            h = nn.relu(h)
+            t_emb = nn.Dense(30)(h)
+        x_emb = positional_encoding(xyz, self.multires)
+        inp = jnp.concatenate([x_emb, t_emb], axis=-1)
+        skip = self.depth // 2
+        h = inp
+        for i in range(self.depth):
+            h = nn.Dense(self.width)(h)
+            h = nn.relu(h)
+            if i == skip:
+                h = jnp.concatenate([inp, h], axis=-1)
+        d_normal = nn.Dense(3, kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros)(h)
+        return d_normal
+
+
+class AppearanceNetwork(nn.Module):
+    """Vertex color field (canonical xyz, t) → RGB in [0,1].
+
+    reference: time_utils.py AppearanceNetwork :269-323 (sigmoid output head).
+    """
+
+    depth: int = 8
+    width: int = 256
+    multires: int = 10
+    is_blender: bool = False
+
+    @nn.compact
+    def __call__(self, xyz, t):
+        t_multires = 6 if self.is_blender else 10
+        t_emb = positional_encoding(t, t_multires)
+        if self.is_blender:
+            h = nn.Dense(256)(t_emb)
+            h = nn.relu(h)
+            t_emb = nn.Dense(30)(h)
+        x_emb = positional_encoding(xyz, self.multires)
+        inp = jnp.concatenate([x_emb, t_emb], axis=-1)
+        skip = self.depth // 2
+        h = inp
+        for i in range(self.depth):
+            h = nn.Dense(self.width)(h)
+            h = nn.relu(h)
+            if i == skip:
+                h = jnp.concatenate([inp, h], axis=-1)
+        rgb = nn.Dense(3)(h)
+        return jax.nn.sigmoid(rgb)
+
+
+def init_deform_params(key, module: nn.Module, n_points: int = 8):
+    xyz = jnp.zeros((n_points, 3))
+    t = jnp.zeros((n_points, 1))
+    return module.init(key, xyz, t)
+
+
+def expand_time(fid, n: int):
+    """Broadcast scalar fid to (N,1) like reference train.py:147."""
+    return jnp.full((n, 1), fid, dtype=jnp.float32)

@@ -1,0 +1,93 @@
+"""Exact k-nearest-neighbour search as chunked MXU matmuls.
+
+Replaces both CUDA kNN backends of the reference:
+  - simple-knn `distCUDA2` (submodules/simple-knn/spatial.cu:16-26): mean
+    squared distance to the 3 nearest neighbours, used for Gaussian scale init
+    (gaussian_model_dpsr_dynamic_anchor.py:165,:657).
+  - pytorch3d `knn_points` (anchor_mesh :760, normal_initialization :719).
+
+Design: pairwise squared distances ‖a‖²+‖b‖²-2a·b computed blockwise — the
+-2a·b term is a (Q,3)×(3,R) matmul that rides the MXU; a running top-k merge
+over reference blocks keeps memory at O(Q_block × R_block).  Exact (the
+reference's simple-knn box pruning is an approximation; ours is not).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _topk_small(neg_d2, idx, k):
+    """top-k by negated distance; returns (vals, ids) sorted ascending dist."""
+    v, i = jax.lax.top_k(neg_d2, k)
+    return -v, idx[i]
+
+
+def knn(queries, refs, k: int, ref_valid=None, q_block: int = 4096,
+        r_block: int = 16384, exclude_self: bool = False):
+    """Exact kNN from queries (Q,3) to refs (R,3).
+
+    Returns (dists² (Q,k), indices (Q,k)).  Invalid refs (ref_valid False) are
+    pushed to +inf distance.  ``exclude_self`` masks the zero-distance match of
+    identical indices (for self-kNN where queries is refs).
+    """
+    Q, R = queries.shape[0], refs.shape[0]
+    qb = min(q_block, Q)
+    rb = min(r_block, R)
+    nq = -(-Q // qb)
+    nr = -(-R // rb)
+    Qp, Rp = nq * qb, nr * rb
+
+    qpad = jnp.pad(queries, ((0, Qp - Q), (0, 0)))
+    rpad = jnp.pad(refs, ((0, Rp - R), (0, 0)))
+    rv = jnp.ones((R,), bool) if ref_valid is None else ref_valid
+    rv = jnp.pad(rv, (0, Rp - R), constant_values=False)
+
+    r2 = jnp.sum(rpad * rpad, axis=-1)
+
+    def q_step(_, qi):
+        qs = jax.lax.dynamic_slice_in_dim(qpad, qi * qb, qb)
+        q2 = jnp.sum(qs * qs, axis=-1, keepdims=True)
+
+        def r_step(carry, ri):
+            best_d, best_i = carry
+            rs = jax.lax.dynamic_slice_in_dim(rpad, ri * rb, rb)
+            rvb = jax.lax.dynamic_slice_in_dim(rv, ri * rb, rb)
+            rr2 = jax.lax.dynamic_slice_in_dim(r2, ri * rb, rb)
+            d2 = q2 + rr2[None, :] - 2.0 * (qs @ rs.T)          # (qb, rb) MXU
+            d2 = jnp.maximum(d2, 0.0)
+            ids = ri * rb + jnp.arange(rb, dtype=jnp.int32)[None, :]
+            d2 = jnp.where(rvb[None, :], d2, jnp.inf)
+            if exclude_self:
+                qids = qi * qb + jnp.arange(qb, dtype=jnp.int32)[:, None]
+                d2 = jnp.where(ids == qids, jnp.inf, d2)
+            # merge with running best
+            cat_d = jnp.concatenate([best_d, d2], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(ids, (qb, rb)).astype(jnp.int32)], axis=1)
+            negv, sel = jax.lax.top_k(-cat_d, k)
+            return (-negv, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+        init = (jnp.full((qb, k), jnp.inf), jnp.zeros((qb, k), jnp.int32))
+        (bd, bi), _ = jax.lax.scan(r_step, init, jnp.arange(nr))
+        return _, (bd, bi)
+
+    _, (dists, idxs) = jax.lax.scan(q_step, None, jnp.arange(nq))
+    dists = dists.reshape(Qp, k)[:Q]
+    idxs = idxs.reshape(Qp, k)[:Q]
+    return dists, idxs
+
+
+def mean_knn_dist2(points, valid=None, k: int = 3):
+    """Mean squared distance to the k nearest neighbours, per point.
+
+    Equivalent of simple-knn's distCUDA2 (spatial.cu:16-26) used to initialise
+    Gaussian scales; exact rather than Morton-box-approximate.
+    """
+    d2, _ = knn(points, points, k, ref_valid=valid, exclude_self=True)
+    if valid is not None:
+        d2 = jnp.where(jnp.isfinite(d2), d2, 0.0)
+    return d2.mean(axis=-1)
