@@ -1,0 +1,265 @@
+"""Differentiable iso-surface extraction via marching tetrahedra.
+
+Replaces the reference's external `diso.DiffMC` CUDA marching cubes
+(gaussian_model_dpsr_dynamic_anchor.py:84, utils/renderer.py:171).  We use the
+6-tetrahedra cube decomposition (every cube split around the main diagonal
+v0–v6), which
+
+  * needs only a 16-case table that is DERIVED PROGRAMMATICALLY at import
+    time with geometric orientation checks (no hand-copied MC-256 tables to
+    get wrong);
+  * is consistent across cube faces (all face diagonals run low→high corner),
+    so the mesh is watertight;
+  * is fully jit-compatible: topology changes are handled with size-bounded
+    `jnp.nonzero(size=...)` compaction into MAX_VERTS/MAX_FACES padded
+    buffers with validity counts.
+
+Differentiability: vertex positions depend on the field only through the
+linear interpolation t = φ_a/(φ_a−φ_b) along sign-changing lattice edges —
+plain XLA autodiff.  Topology (masks/indices) is discrete and receives no
+gradient, same as DiffMC.
+
+Vertex identity: every mesh vertex lies on one of 7 lattice-edge classes per
+grid point (+x, +y, +z, the three face diagonals, the main diagonal); a
+vertex's global id is (point_id*7 + class).  Face indices are recovered with a
+searchsorted into the sorted compacted edge-id list — no res³-sized scatter.
+
+Field convention: outside > 0 > inside (the DPSR output after the sign fix of
+utils/renderer.py:164-167); triangle winding is right-handed around the
+outward (positive-side) normal.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Cube corners, x-major bit layout: corner i = (i>>2 & 1, i>>1 & 1, i & 1).
+_CORNERS = np.array([[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)],
+                    np.int32)
+# 6-tet decomposition around the main diagonal corner0(0,0,0) – corner7(1,1,1).
+# (corner numbering here is bit-layout; (1,1,1) is index 7.)
+_TETS = np.array([
+    [0, 4, 6, 7],   # each tet = 4 cube-corner indices, shares edge 0-7
+    [0, 6, 2, 7],
+    [0, 2, 3, 7],
+    [0, 3, 1, 7],
+    [0, 1, 5, 7],
+    [0, 5, 4, 7],
+], np.int32)
+
+_TET_EDGES = np.array([[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int32)
+
+# 7 lattice edge classes (direction from anchor point).
+_EDGE_DIRS = np.array([
+    [1, 0, 0], [0, 1, 0], [0, 0, 1],
+    [1, 1, 0], [1, 0, 1], [0, 1, 1],
+    [1, 1, 1],
+], np.int32)
+_DIR_TO_CLASS = {tuple(d): i for i, d in enumerate(_EDGE_DIRS)}
+
+
+def _build_tables():
+    """Derive the per-tet 16-case triangle table with verified orientation.
+
+    For each tet (they have distinct geometry!) and each inside-mask case,
+    emit up to 2 triangles as triples of tet-edge indices (0..5), wound so the
+    right-hand normal points from the inside (<0) region toward the outside.
+    Also build the (tet, tet_edge) → (anchor_offset, class) map.
+    """
+    # tet-edge → (anchor offset within cube, edge class)
+    edge_anchor = np.zeros((6, 6, 3), np.int32)
+    edge_class = np.zeros((6, 6), np.int32)
+    for t in range(6):
+        for e in range(6):
+            a, b = _TET_EDGES[e]
+            ca, cb = _CORNERS[_TETS[t, a]], _CORNERS[_TETS[t, b]]
+            anchor = np.minimum(ca, cb)
+            d = np.abs(cb - ca)
+            edge_anchor[t, e] = anchor
+            edge_class[t, e] = _DIR_TO_CLASS[tuple(d)]
+
+    tri_table = np.full((6, 16, 2, 3), -1, np.int32)
+    tri_count = np.zeros((6, 16), np.int32)
+
+    for t in range(6):
+        pos = _CORNERS[_TETS[t]].astype(np.float64)       # (4,3) corner coords
+        emid = {e: 0.5 * (pos[_TET_EDGES[e, 0]] + pos[_TET_EDGES[e, 1]])
+                for e in range(6)}
+
+        def edge_of(a, b):
+            for e in range(6):
+                if set(_TET_EDGES[e]) == {a, b}:
+                    return e
+            raise KeyError
+
+        for case in range(16):
+            inside = [v for v in range(4) if (case >> v) & 1]
+            outside = [v for v in range(4) if not ((case >> v) & 1)]
+            tris = []
+            if len(inside) == 1:
+                a = inside[0]
+                tris.append([edge_of(a, b) for b in outside])
+            elif len(inside) == 3:
+                b = outside[0]
+                tris.append([edge_of(a, b) for a in inside])
+            elif len(inside) == 2:
+                a1, a2 = inside
+                b1, b2 = outside
+                e11, e12 = edge_of(a1, b1), edge_of(a1, b2)
+                e22, e21 = edge_of(a2, b2), edge_of(a2, b1)
+                tris.append([e11, e12, e22])
+                tris.append([e11, e22, e21])
+            # orient: normal should point inside→outside (outward)
+            for k, tri in enumerate(tris):
+                v0, v1, v2 = (emid[e] for e in tri)
+                n = np.cross(v1 - v0, v2 - v0)
+                want = (np.mean(pos[outside], axis=0)
+                        - np.mean(pos[inside], axis=0)) if inside and outside else n
+                if np.dot(n, want) < 0:
+                    tri[1], tri[2] = tri[2], tri[1]
+                tri_table[t, case, k] = tri
+            tri_count[t, case] = len(tris)
+    return (jnp.asarray(edge_anchor), jnp.asarray(edge_class),
+            jnp.asarray(tri_table), jnp.asarray(tri_count))
+
+
+_EDGE_ANCHOR, _EDGE_CLASS, _TRI_TABLE, _TRI_COUNT = _build_tables()
+
+
+class MTConfig(NamedTuple):
+    res: int
+    max_verts: int
+    max_faces: int
+    max_cubes: int
+
+
+class MeshResult(NamedTuple):
+    verts: jnp.ndarray        # (MAX_V, 3) in [0,1]³, padded
+    faces: jnp.ndarray        # (MAX_F, 3) int32 vertex indices, padded
+    n_verts: jnp.ndarray      # () int32
+    n_faces: jnp.ndarray      # () int32
+    vert_valid: jnp.ndarray   # (MAX_V,) bool
+    face_valid: jnp.ndarray   # (MAX_F,) bool
+    overflow: jnp.ndarray     # () int32: dropped cubes/verts/faces (any)
+
+
+def _edge_active_masks(sign, res):
+    """(res³,7) bool: lattice edge (p, class) crosses the iso-surface."""
+    masks = []
+    for d in np.asarray(_EDGE_DIRS):
+        shifted = sign
+        for ax, step in enumerate(d):
+            if step:
+                shifted = jnp.roll(shifted, -1, axis=ax)
+        act = sign != shifted
+        # kill wrap-around edges at the high boundary
+        for ax, step in enumerate(d):
+            if step:
+                idx = [slice(None)] * 3
+                idx[ax] = res - 1
+                act = act.at[tuple(idx)].set(False)
+        masks.append(act.reshape(-1))
+    return jnp.stack(masks, axis=-1)                     # (res³, 7)
+
+
+def marching_tets(phi, cfg: MTConfig) -> MeshResult:
+    """Extract the φ=0 iso-surface of a res³ field (outside>0)."""
+    res = cfg.res
+    phi = phi.reshape(res, res, res)
+    sign = phi > 0.0                                     # True = outside
+
+    # ---- vertices: one per active lattice edge ----
+    act = _edge_active_masks(sign, res)                  # (res³,7)
+    act_flat = act.reshape(-1)
+    n_verts = jnp.sum(act_flat.astype(jnp.int32))
+    (edge_ids,) = jnp.nonzero(act_flat, size=cfg.max_verts,
+                              fill_value=res * res * res * 7)
+    edge_ids = edge_ids.astype(jnp.int32)
+    vert_valid = jnp.arange(cfg.max_verts) < n_verts
+
+    point_id = edge_ids // 7
+    klass = edge_ids % 7
+    pz = point_id % res
+    py = (point_id // res) % res
+    px = point_id // (res * res)
+    p0 = jnp.stack([px, py, pz], axis=-1)                # (V,3) int
+    d = jnp.asarray(_EDGE_DIRS)[klass]                   # (V,3)
+    p1 = jnp.clip(p0 + d, 0, res - 1)
+
+    phi_flat = phi.reshape(-1)
+    f0 = phi_flat[(p0[:, 0] * res + p0[:, 1]) * res + p0[:, 2]]
+    f1 = phi_flat[(p1[:, 0] * res + p1[:, 1]) * res + p1[:, 2]]
+    denom = f0 - f1
+    t = f0 / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t = jnp.clip(t, 0.0, 1.0)
+    verts = (p0.astype(jnp.float32) + t[:, None] * d.astype(jnp.float32)) / (res - 1)
+    verts = jnp.where(vert_valid[:, None], verts, 0.0)
+
+    # ---- active cubes ----
+    c = res - 1
+    s = sign.astype(jnp.int32)
+    # pack the 8 corner signs of each cube: corner bit layout matches _CORNERS
+    corners = []
+    for i in range(8):
+        dx, dy, dz = (i >> 2) & 1, (i >> 1) & 1, i & 1
+        corners.append(s[dx:dx + c, dy:dy + c, dz:dz + c])
+    packed = sum(cor.astype(jnp.int32) << i for i, cor in enumerate(corners))
+    cube_active = (packed != 0) & (packed != 255)
+    n_cubes = jnp.sum(cube_active.astype(jnp.int32))
+    (cube_ids,) = jnp.nonzero(cube_active.reshape(-1), size=cfg.max_cubes,
+                              fill_value=0)
+    cube_ids = cube_ids.astype(jnp.int32)
+    cube_ok = jnp.arange(cfg.max_cubes) < jnp.minimum(n_cubes, cfg.max_cubes)
+
+    cz = cube_ids % c
+    cy = (cube_ids // c) % c
+    cx = cube_ids // (c * c)
+    cpos = jnp.stack([cx, cy, cz], axis=-1)              # (C,3)
+    case8 = packed.reshape(-1)[cube_ids]                 # (C,)
+
+    # ---- faces: per cube × 6 tets × ≤2 tris ----
+    # tet case: 4 bits, bit v set when corner INSIDE (sign False → φ<0)
+    tet_corner_bits = []  # (6,4) which cube-corner bit each tet corner reads
+    tc = jnp.asarray(_TETS)                              # (6,4)
+    corner_in = (~((case8[:, None, None] >> tc[None]) & 1).astype(bool))  # (C,6,4)
+    tet_case = sum(corner_in[..., v].astype(jnp.int32) << v for v in range(4))  # (C,6)
+
+    counts = _TRI_COUNT[jnp.arange(6)[None, :], tet_case]          # (C,6)
+    tris = _TRI_TABLE[jnp.arange(6)[None, :], tet_case]            # (C,6,2,3) tet-edge idx
+
+    # map tet-edge → global vertex id
+    anchors = _EDGE_ANCHOR[jnp.arange(6)[None, :, None, None],
+                           jnp.where(tris >= 0, tris, 0)]          # (C,6,2,3,3)
+    klasses = _EDGE_CLASS[jnp.arange(6)[None, :, None, None],
+                          jnp.where(tris >= 0, tris, 0)]           # (C,6,2,3)
+    gpt = cpos[:, None, None, None, :] + anchors                   # lattice point
+    gpid = (gpt[..., 0] * res + gpt[..., 1]) * res + gpt[..., 2]
+    geid = gpid * 7 + klasses                                      # (C,6,2,3)
+
+    # vertex index = position of geid in the sorted compacted edge id list
+    vidx = jnp.searchsorted(edge_ids, geid.reshape(-1)).astype(jnp.int32)
+    vidx = jnp.minimum(vidx, cfg.max_verts - 1).reshape(geid.shape)
+
+    tri_valid = (jnp.arange(2)[None, None, :] < counts[:, :, None]) \
+        & cube_ok[:, None, None]                                   # (C,6,2)
+    flat_faces = vidx.reshape(-1, 3)
+    flat_valid = tri_valid.reshape(-1)
+    n_faces_total = jnp.sum(flat_valid.astype(jnp.int32))
+    (face_slots,) = jnp.nonzero(flat_valid, size=cfg.max_faces, fill_value=0)
+    faces = flat_faces[face_slots]
+    face_valid = jnp.arange(cfg.max_faces) < jnp.minimum(n_faces_total, cfg.max_faces)
+    faces = jnp.where(face_valid[:, None], faces, 0)
+
+    overflow = (jnp.maximum(n_cubes - cfg.max_cubes, 0)
+                + jnp.maximum(n_verts - cfg.max_verts, 0)
+                + jnp.maximum(n_faces_total - cfg.max_faces, 0))
+    return MeshResult(verts=verts, faces=faces,
+                      n_verts=jnp.minimum(n_verts, cfg.max_verts),
+                      n_faces=jnp.minimum(n_faces_total, cfg.max_faces),
+                      vert_valid=vert_valid, face_valid=face_valid,
+                      overflow=overflow)

@@ -1,0 +1,266 @@
+"""Differentiable triangle mesh rasterization, TPU-native.
+
+Replaces nvdiffrast (`dr.rasterize` / `dr.interpolate` / `dr.antialias`, used
+by the reference in utils/renderer.py:33-121) with a tile-binned z-buffer
+rasterizer built on the same binning machinery as the Gaussian splatter:
+
+  render_mesh — hard z-buffered coverage with perspective-correct barycentric
+      color interpolation.  Gradients flow to vertex colors everywhere and to
+      vertex positions inside covered triangles (through the barycentrics).
+  render_mask — SOFT silhouette: per-pixel  1 − Π_f (1 − σ(−d_f/τ))  where
+      d_f is the screen-space signed distance to triangle f (negative
+      inside).  This replaces nvdiffrast's antialias edge-gradient
+      (which the reference relies on for its ×100-weighted mask loss,
+      train.py:266-267) with a SoftRas/pytorch3d-style silhouette whose
+      gradient moves vertices across the silhouette — smoother and better
+      conditioned than nvdiffrast's single-pixel AA gradient, and fully
+      vectorizable on the VPU.  τ→0 recovers the hard mask; a hard mask is
+      also returned for eval parity.  Known SoftRas artifact: pixels exactly
+      on interior (shared) edges dip to 1-(1-σ)²≈0.75 — a 1px-wide seam with
+      negligible, direction-symmetric loss contribution.
+
+Camera convention: verts are transformed by an OpenGL-style modelview `pose`
+(w2c, camera looking down −z; see cameras.Camera.mesh_pose) and projection
+(cameras.gl_projection_from_K); pixel y increases downward (the reference
+flips the nvdiffrast output to this convention).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .binning import bin_rects, quantize_depth, rect_from_bbox
+
+
+class MeshRasterConfig(NamedTuple):
+    width: int
+    height: int
+    tile_h: int = 16
+    tile_w: int = 16
+    max_per_tile: int = 256
+    max_dup: int = 1 << 21
+    tile_chunk: int = 64
+    sigma: float = 1.0        # soft-silhouette bandwidth in *pixels*
+    eps_w: float = 1e-4       # near-plane guard
+
+    @property
+    def tiles_x(self):
+        return -(-self.width // self.tile_w)
+
+    @property
+    def tiles_y(self):
+        return -(-self.height // self.tile_h)
+
+    @property
+    def num_tiles(self):
+        return self.tiles_x * self.tiles_y
+
+
+def project_verts(verts, pose, proj, cfg: MeshRasterConfig):
+    """world verts (V,3) → screen xy (V,2), clip w (V,), ok mask."""
+    ones = jnp.ones((verts.shape[0], 1), verts.dtype)
+    hom = jnp.concatenate([verts, ones], axis=-1)
+    cam = hom @ pose.T
+    clip = cam @ proj.T                      # OpenGL clip space
+    w = clip[:, 3]
+    ok = w > cfg.eps_w
+    w_safe = jnp.where(ok, w, 1.0)
+    ndc = clip[:, :3] / w_safe[:, None]
+    px = (ndc[:, 0] * 0.5 + 0.5) * cfg.width
+    py = (0.5 - ndc[:, 1] * 0.5) * cfg.height      # y down (image convention)
+    return jnp.stack([px, py], -1), w, ok
+
+
+def _face_screen(xy, w, ok, faces, face_valid):
+    """Gather per-face screen triangles; returns (F,3,2), inv_w (F,3), valid."""
+    f = faces
+    tri = xy[f]                                # (F,3,2)
+    wf = w[f]                                  # (F,3)
+    valid = face_valid & ok[f].all(axis=1)
+    inv_w = 1.0 / jnp.where(wf > 0, wf, 1.0)
+    return tri, inv_w, valid
+
+
+def rasterize(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig):
+    """Bin faces and z-buffer each tile.
+
+    Returns dict with per-pixel winner face id (H,W) int32 (-1 = background),
+    perspective-correct barycentrics (H,W,3), plus the projection tensors
+    needed by shading (kept for reuse, all differentiable).
+    """
+    xy, w, ok = project_verts(verts, pose, proj, cfg)
+    tri, inv_w, fvalid = _face_screen(xy, w, ok, faces, face_valid)
+
+    sg = jax.lax.stop_gradient
+    tri_s = sg(tri)
+    pad = 1.0  # 1px guard so soft-silhouette support isn't clipped at bbox
+    x0 = jnp.floor(tri_s[..., 0].min(axis=1) - pad)
+    x1 = jnp.ceil(tri_s[..., 0].max(axis=1) + pad)
+    y0 = jnp.floor(tri_s[..., 1].min(axis=1) - pad)
+    y1 = jnp.ceil(tri_s[..., 1].max(axis=1) + pad)
+    tx0, ty0, nx, ny = rect_from_bbox(x0, y0, x1, y1, tile_w=cfg.tile_w,
+                                      tile_h=cfg.tile_h, tiles_x=cfg.tiles_x,
+                                      tiles_y=cfg.tiles_y)
+    depth = sg(1.0 / jnp.maximum(inv_w.mean(axis=1), 1e-6))
+    bins = bin_rects(tx0, ty0, nx, ny, quantize_depth(depth, fvalid), fvalid,
+                     tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+                     max_dup=cfg.max_dup, max_per_tile=cfg.max_per_tile)
+    return dict(bins=bins, tri=tri, inv_w=inv_w, fvalid=fvalid, xy=xy, w=w)
+
+
+def _tile_pixels(tile_ids, cfg):
+    ty = tile_ids // cfg.tiles_x
+    tx = tile_ids % cfg.tiles_x
+    P = cfg.tile_h * cfg.tile_w
+    lx = jnp.arange(cfg.tile_w, dtype=jnp.float32) + 0.5
+    ly = jnp.arange(cfg.tile_h, dtype=jnp.float32) + 0.5
+    px = tx[:, None].astype(jnp.float32) * cfg.tile_w + lx[None, :]
+    py = ty[:, None].astype(jnp.float32) * cfg.tile_h + ly[None, :]
+    pxx = jnp.tile(px[:, None, :], (1, cfg.tile_h, 1)).reshape(-1, P)
+    pyy = jnp.tile(py[:, :, None], (1, 1, cfg.tile_w)).reshape(-1, P)
+    return pxx, pyy
+
+
+def _bary_2d(tri, px, py):
+    """Screen-space barycentrics of pixels vs triangles.
+
+    tri: (C,K,3,2); px,py: (C,P).  Returns bary (C,K,P,3) and the doubled
+    signed area (C,K,1) — negative for back-facing (still rendered,
+    nvdiffrast-style double-sided).
+    """
+    ax, ay = tri[..., 0, 0][..., None], tri[..., 0, 1][..., None]   # (C,K,1)
+    bx, by = tri[..., 1, 0][..., None], tri[..., 1, 1][..., None]
+    cx, cy = tri[..., 2, 0][..., None], tri[..., 2, 1][..., None]
+    pxe = px[:, None, :]
+    pye = py[:, None, :]
+    # edge functions
+    e0 = (cx - bx) * (pye - by) - (cy - by) * (pxe - bx)   # opposite vert a
+    e1 = (ax - cx) * (pye - cy) - (ay - cy) * (pxe - cx)   # opposite vert b
+    e2 = (bx - ax) * (pye - ay) - (by - ay) * (pxe - ax)   # opposite vert c
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)   # (C,K,1)
+    area_safe = jnp.where(jnp.abs(area) < 1e-9, 1e-9, area)
+    bary = jnp.stack([e0, e1, e2], axis=-1) / area_safe[..., None]
+    return bary, area
+
+
+def _edge_distance(tri, px, py):
+    """Unsigned distance from each pixel to the nearest triangle edge segment.
+
+    tri: (C,K,3,2). Returns (C,K,P).
+    """
+    d2min = None
+    for i in range(3):
+        a = tri[..., i, :]                     # (C,K,2)
+        b = tri[..., (i + 1) % 3, :]
+        abx = (b - a)[..., 0][..., None]
+        aby = (b - a)[..., 1][..., None]
+        apx = px[:, None, :] - a[..., 0][..., None]
+        apy = py[:, None, :] - a[..., 1][..., None]
+        denom = abx * abx + aby * aby
+        t = jnp.clip((apx * abx + apy * aby) / jnp.maximum(denom, 1e-12), 0.0, 1.0)
+        dx = apx - t * abx
+        dy = apy - t * aby
+        d2 = dx * dx + dy * dy
+        d2min = d2 if d2min is None else jnp.minimum(d2min, d2)
+    return jnp.sqrt(d2min + 1e-12)
+
+
+def _shade_chunk(tile_ids, tidx, rast, colors_v, faces, bg, cfg, want_soft):
+    """Z-buffer + shade one chunk of tiles.
+
+    Returns (rgb (C,P,3), hard (C,P), soft (C,P) or None, faceid (C,P)).
+    """
+    P = cfg.tile_h * cfg.tile_w
+    gi = jnp.maximum(tidx, 0)                       # (C,K)
+    gvalid = tidx >= 0
+    tri = rast["tri"][gi]                           # (C,K,3,2)
+    inv_w = rast["inv_w"][gi]                       # (C,K,3)
+    px, py = _tile_pixels(tile_ids, cfg)            # (C,P)
+
+    bary, area = _bary_2d(tri, px, py)              # (C,K,P,3),(C,K,1)
+    inside = (bary >= 0.0).all(axis=-1) & gvalid[:, :, None]   # (C,K,P)
+    zi = jnp.einsum("ckpj,ckj->ckp", bary, inv_w)   # interpolated 1/w
+    zkey = jnp.where(inside, zi, -jnp.inf)
+    win = jnp.argmax(zkey, axis=1)                  # (C,P) nearest face slot
+    covered = jnp.take_along_axis(inside, win[:, None, :], axis=1)[:, 0, :]
+
+    # gather winner data
+    bary_w = jnp.take_along_axis(
+        bary, win[:, None, :, None].astype(jnp.int32), axis=1)[:, 0]  # (C,P,3)
+    invw_w = jax.vmap(lambda iw, wn: iw[wn])(inv_w, win)              # (C,P,3)
+    # perspective-correct weights
+    pw = bary_w * invw_w
+    pw = pw / jnp.maximum(pw.sum(-1, keepdims=True), 1e-12)
+
+    fid = jnp.take_along_axis(gi, win, axis=1)      # (C,P) face index
+    vidx = faces[fid]                               # (C,P,3)
+    vcol = colors_v[vidx]                           # (C,P,3,3)
+    rgb = jnp.einsum("cpj,cpjd->cpd", pw, vcol)
+    rgb = jnp.where(covered[..., None], rgb, bg[None, None, :])
+    fid_out = jnp.where(covered, fid, -1)
+
+    soft = None
+    if want_soft:
+        d = _edge_distance(tri, px, py)
+        signed = jnp.where(inside, -d, d)           # negative inside
+        s = jax.nn.sigmoid(-signed / cfg.sigma)
+        s = jnp.where(gvalid[:, :, None], s, 0.0)
+        log_keep = jnp.log1p(-jnp.clip(s, 0.0, 1.0 - 1e-6))
+        soft = 1.0 - jnp.exp(jnp.sum(log_keep, axis=1))   # (C,P)
+    return rgb, covered.astype(jnp.float32), soft, fid_out
+
+
+def _untile(x, cfg, channels=None):
+    T = cfg.num_tiles
+    if channels:
+        x = x.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, channels)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(cfg.tiles_y * cfg.tile_h,
+                                               cfg.tiles_x * cfg.tile_w, channels)
+    else:
+        x = x.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w)
+        x = x.transpose(0, 2, 1, 3).reshape(cfg.tiles_y * cfg.tile_h,
+                                            cfg.tiles_x * cfg.tile_w)
+    return x[:cfg.height, :cfg.width]
+
+
+def render_mesh(verts, faces, face_valid, vtx_color, pose, proj, bg_color,
+                cfg: MeshRasterConfig, want_soft: bool = True):
+    """Full mesh render (reference: utils/renderer.py render_mask :33-66 +
+    render_mesh :69-121 in one pass).
+
+    Returns dict: rgb (H,W,3), mask (H,W) hard coverage, soft_mask (H,W)
+    differentiable silhouette, face_id (H,W), aux (binning overflow counters).
+    """
+    rast = rasterize(verts, faces, face_valid, pose, proj, cfg)
+    bins = rast["bins"]
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    T, C = cfg.num_tiles, cfg.tile_chunk
+    n_chunks = -(-T // C)
+    padn = n_chunks * C - T
+    all_tiles = jnp.arange(T + padn, dtype=jnp.int32) % T
+    tidx = bins.tile_idx
+    tidx_pad = jnp.concatenate([tidx, tidx[:padn]], 0) if padn else tidx
+
+    def body(args):
+        tids, tix = args
+        return _shade_chunk(tids, tix, rast, vtx_color, faces, bg, cfg, want_soft)
+
+    tids = all_tiles.reshape(n_chunks, C)
+    tix = tidx_pad.reshape(n_chunks, C, cfg.max_per_tile)
+    rgb, hard, soft, fid = jax.lax.map(body, (tids, tix))
+
+    out = dict(
+        rgb=_untile(rgb.reshape(-1, cfg.tile_h * cfg.tile_w, 3), cfg, 3),
+        mask=_untile(hard.reshape(-1, cfg.tile_h * cfg.tile_w), cfg),
+        face_id=_untile(fid.reshape(-1, cfg.tile_h * cfg.tile_w), cfg),
+        aux=dict(num_duplicates=bins.num_duplicates,
+                 dup_overflow=bins.dup_overflow,
+                 tile_overflow=bins.tile_overflow),
+    )
+    if want_soft:
+        out["soft_mask"] = _untile(soft.reshape(-1, cfg.tile_h * cfg.tile_w), cfg)
+    return out

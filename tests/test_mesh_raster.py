@@ -1,0 +1,137 @@
+"""Mesh rasterizer tests: coverage, interpolation, z-order, soft-mask grads."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgmesh_tpu import cameras
+from dgmesh_tpu.ops import mesh_raster as mr
+
+
+def look_at_camera(W=64, H=64, dist=3.0, fovx=1.0):
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = dist
+    cam = cameras.camera_from_c2w_blender(0, c2w, fovx, W, H, 0.0)
+    pose = jnp.asarray(cam.mesh_pose())
+    proj = jnp.asarray(cameras.gl_projection_from_K(cam.intrinsics, W, H))
+    return pose, proj
+
+
+CFG = mr.MeshRasterConfig(width=64, height=64, max_per_tile=32, max_dup=4096,
+                          tile_chunk=4, sigma=0.7)
+
+
+def quad(z=0.0, half=0.5):
+    verts = jnp.asarray([[-half, -half, z], [half, -half, z],
+                         [half, half, z], [-half, half, z]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    return verts, faces
+
+
+def test_quad_coverage_and_color():
+    verts, faces = quad()
+    pose, proj = look_at_camera()
+    colors = jnp.asarray([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], jnp.float32)
+    out = mr.render_mesh(verts, faces, jnp.ones(2, bool), colors, pose, proj,
+                         jnp.zeros(3), CFG)
+    mask = np.asarray(out["mask"])
+    # centered square should cover a centered region, not the borders
+    assert mask[32, 32] == 1.0
+    assert mask[2, 2] == 0.0 and mask[-2, -2] == 0.0
+    frac = mask.mean()
+    # square of side 1 at dist 3 with fovx=1: covers (f*1/3)^2 px^2,
+    # f = W/(2 tan .5)
+    f = 64 / (2 * np.tan(0.5))
+    expect = (f / 3) ** 2 / (64 * 64)
+    np.testing.assert_allclose(frac, expect, rtol=0.1)
+    # quad center sits on the v0–v2 diagonal: color ≈ (red+blue)/2
+    rgb = np.asarray(out["rgb"])
+    np.testing.assert_allclose(rgb[32, 32], [0.5, 0.0, 0.5], atol=0.1)
+    # background stays bg color
+    np.testing.assert_allclose(rgb[2, 2], 0.0, atol=1e-6)
+    assert int(out["aux"]["tile_overflow"]) == 0
+
+
+def test_zbuffer_order():
+    # red quad in front of green quad
+    v1, f1 = quad(z=0.5, half=0.3)
+    v2, f2 = quad(z=-0.5, half=0.6)
+    verts = jnp.concatenate([v1, v2])
+    faces = jnp.concatenate([f1, f2 + 4])
+    colors = jnp.asarray([[1, 0, 0]] * 4 + [[0, 1, 0]] * 4, jnp.float32)
+    pose, proj = look_at_camera()
+    out = mr.render_mesh(verts, faces, jnp.ones(4, bool), colors, pose, proj,
+                         jnp.zeros(3), CFG)
+    rgb = np.asarray(out["rgb"])
+    # center: near (red, z=+0.5 closer to camera at z=3) wins
+    np.testing.assert_allclose(rgb[32, 32], [1, 0, 0], atol=1e-5)
+    # offset point inside big quad but outside small quad: green
+    fid = np.asarray(out["face_id"])
+    ys, xs = np.nonzero((rgb[..., 1] > 0.5))
+    assert len(ys) > 0
+
+
+def test_face_valid_mask():
+    verts, faces = quad()
+    pose, proj = look_at_camera()
+    colors = jnp.ones((4, 3))
+    out = mr.render_mesh(verts, faces, jnp.asarray([True, False]), colors,
+                         pose, proj, jnp.zeros(3), CFG)
+    # only one triangle rendered → half the quad
+    out_full = mr.render_mesh(verts, faces, jnp.ones(2, bool), colors, pose,
+                              proj, jnp.zeros(3), CFG)
+    assert 0.4 < np.asarray(out["mask"]).sum() / np.asarray(out_full["mask"]).sum() < 0.6
+
+
+def test_soft_mask_tracks_hard():
+    verts, faces = quad()
+    pose, proj = look_at_camera()
+    colors = jnp.ones((4, 3))
+    out = mr.render_mesh(verts, faces, jnp.ones(2, bool), colors, pose, proj,
+                         jnp.zeros(3), CFG)
+    hard = np.asarray(out["mask"])
+    soft = np.asarray(out["soft_mask"])
+    # deep interior ≈ 1 (off the interior seam: the shared diagonal edge has
+    # the classic SoftRas dip to 1-(1-σ)² = 0.75), far exterior ≈ 0
+    assert soft[32, 36] > 0.95
+    assert soft[32, 32] > 0.7  # on-seam dip bounded
+    assert soft[2, 2] < 0.05
+    # consistency: correlation with hard mask is strong
+    assert np.corrcoef(hard.ravel(), soft.ravel())[0, 1] > 0.9
+
+
+def test_soft_mask_gradient_grows_with_target():
+    """Gradient of (soft_mask - bigger_target)² should pull verts outward."""
+    verts, faces = quad()
+    pose, proj = look_at_camera()
+    colors = jnp.ones((4, 3))
+
+    out_big = mr.render_mesh(jnp.asarray(verts) * 1.4, faces, jnp.ones(2, bool),
+                             colors, pose, proj, jnp.zeros(3), CFG)
+    target = jax.lax.stop_gradient(out_big["soft_mask"])
+
+    def loss(v):
+        out = mr.render_mesh(v, faces, jnp.ones(2, bool), colors, pose, proj,
+                             jnp.zeros(3), CFG)
+        return ((out["soft_mask"] - target) ** 2).mean()
+
+    g = jax.grad(loss)(verts)
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+    # gradient descent direction (-g) should point outward (increase |x|,|y|)
+    step = verts - 1e3 * g  # arbitrary positive step to check direction
+    grew = np.abs(np.asarray(step)[:, :2]).sum() > np.abs(np.asarray(verts)[:, :2]).sum()
+    assert grew
+
+
+def test_color_gradients():
+    verts, faces = quad()
+    pose, proj = look_at_camera()
+
+    def loss(c):
+        out = mr.render_mesh(verts, faces, jnp.ones(2, bool), c, pose, proj,
+                             jnp.zeros(3), CFG)
+        return (out["rgb"] ** 2).sum()
+
+    g = jax.grad(loss)(jnp.full((4, 3), 0.5))
+    assert np.abs(np.asarray(g)).min() > 0  # every vertex color used
