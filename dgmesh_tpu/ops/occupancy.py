@@ -1,0 +1,71 @@
+"""Gaussian-mixture occupancy field on a regular grid.
+
+reference: utils/mesh_utils.py get_opacity_field_from_gaussians :7-77 — used
+once at dpsr_iter to initialise normals (occupancy grid → marching cubes →
+surface sample → kNN normal transfer, gaussian_model_dpsr_dynamic_anchor.py
+:684-734).
+
+The reference evaluates Σᵢ opacityᵢ·exp(-½ dᵀΣᵢ⁻¹d) block-tiled with
+per-block culling of far Gaussians.  On TPU we chunk over grid points ×
+Gaussians; the quadratic form is einsum-friendly and the one-shot cost is
+irrelevant (runs once per training).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .quaternion import quat_to_rotmat
+
+
+def gaussian_occupancy_grid(xyz, scaling, rotation, opacity, alive,
+                            center, half_extent, res: int,
+                            chunk: int = 32_768, cutoff: float = 3.0):
+    """Evaluate the opacity field on a res³ grid spanning center ± half_extent.
+
+    Returns (res,res,res) float32.  ``cutoff`` (in σ) truncates like the
+    reference's minimum-scale culling (mesh_utils.py:48-54).
+    """
+    R = quat_to_rotmat(rotation)                       # (N,3,3)
+    inv_s = 1.0 / jnp.maximum(scaling, 1e-8)           # (N,3)
+    # Σ = R S² Rᵀ ⇒ Σ⁻¹ = R S⁻² Rᵀ; with d'=Rᵀd the form is q = ‖d'/s‖²
+    op = jnp.where(alive, opacity.reshape(-1), 0.0)
+
+    g = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res * 2.0 - 1.0
+    pts = jnp.stack(jnp.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    pts = pts * half_extent + jnp.asarray(center)
+
+    n_chunks = -(-pts.shape[0] // chunk)
+    pad = n_chunks * chunk - pts.shape[0]
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+
+    def body(_, p):                                    # p: (chunk,3)
+        d = p[:, None, :] - xyz[None, :, :]            # (chunk,N,3)
+        local = jnp.einsum("nij,cnj->cni", jnp.swapaxes(R, -1, -2), d)
+        q = jnp.sum((local * inv_s[None]) ** 2, axis=-1)
+        val = op[None, :] * jnp.exp(-0.5 * q)
+        val = jnp.where(q < cutoff * cutoff * 3.0, val, 0.0)
+        return _, val.sum(axis=1)
+
+    _, vals = jax.lax.scan(body, None, pts_p.reshape(n_chunks, chunk, 3))
+    return vals.reshape(-1)[:pts.shape[0]].reshape(res, res, res)
+
+
+def sample_mesh_surface(key, verts, faces, face_valid, n_samples: int):
+    """Uniform area-weighted surface sampling (replaces trimesh.sample used in
+    normal_initialization :712-717).  Returns (pts (S,3), normals (S,3))."""
+    from .laplacian import face_areas, face_normals
+    areas = face_areas(verts, faces, face_valid)
+    p = areas / jnp.maximum(areas.sum(), 1e-12)
+    k1, k2 = jax.random.split(key)
+    fidx = jax.random.categorical(k1, jnp.log(p + 1e-20), shape=(n_samples,))
+    tri = verts[faces[fidx]]                           # (S,3,3)
+    uv = jax.random.uniform(k2, (n_samples, 2))
+    su = jnp.sqrt(uv[:, :1])
+    b0 = 1.0 - su
+    b1 = su * (1.0 - uv[:, 1:])
+    b2 = su * uv[:, 1:]
+    pts = b0 * tri[:, 0] + b1 * tri[:, 1] + b2 * tri[:, 2]
+    nrm = face_normals(verts, faces, face_valid)[fidx]
+    return pts, nrm

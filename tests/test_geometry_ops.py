@@ -1,0 +1,125 @@
+"""Tests for laplacian regularizers, occupancy field, chamfer/EMD."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgmesh_tpu.ops import chamfer, laplacian, occupancy
+from dgmesh_tpu.ops.marching_tets import MTConfig, marching_tets
+
+
+def _sphere_mesh(res=24, radius=0.3):
+    g = np.arange(res) / (res - 1)
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    phi = np.sqrt((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) - radius
+    cfg = MTConfig(res=res, max_verts=4096, max_faces=8192, max_cubes=4096)
+    return marching_tets(jnp.asarray(phi, jnp.float32), cfg)
+
+
+def test_laplacian_zero_for_plane():
+    # flat grid mesh has zero umbrella residual in the interior
+    n = 8
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(n * n)], -1).astype(np.float32)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    faces = np.asarray(faces, np.int32)
+    loss_flat = float(laplacian.laplacian_uniform(
+        jnp.asarray(verts), jnp.asarray(faces), jnp.ones(len(faces), bool)))
+    bump = verts.copy()
+    bump[n * n // 2 + n // 2, 2] = 2.0
+    loss_bump = float(laplacian.laplacian_uniform(
+        jnp.asarray(bump), jnp.asarray(faces), jnp.ones(len(faces), bool)))
+    assert loss_bump > loss_flat + 0.01
+    # note: loss_flat > 0 from boundary vertices (open mesh) — the umbrella
+    # mean of a boundary vertex is displaced tangentially; same as reference.
+    # z-gradient of the flat mesh is zero in the interior:
+    g = np.asarray(jax.grad(lambda v: laplacian.laplacian_uniform(
+        v, jnp.asarray(faces), jnp.ones(len(faces), bool)))(jnp.asarray(verts)))
+    interior = np.zeros(n * n, bool)
+    interior[(xs.ravel() > 1) & (xs.ravel() < n - 2)
+             & (ys.ravel() > 1) & (ys.ravel() < n - 2)] = True
+    np.testing.assert_allclose(g[interior, 2], 0.0, atol=1e-6)
+
+
+def test_laplacian_smooths_sphere_noise():
+    m = _sphere_mesh()
+    nv = int(m.n_verts)
+    key = jax.random.PRNGKey(0)
+    noise = 0.01 * jax.random.normal(key, m.verts.shape)
+    noisy = m.verts + jnp.where(m.vert_valid[:, None], noise, 0.0)
+    l_clean = float(laplacian.laplacian_uniform(m.verts, m.faces, m.face_valid))
+    l_noisy = float(laplacian.laplacian_uniform(noisy, m.faces, m.face_valid))
+    assert l_noisy > l_clean
+    # gradient reduces the loss
+    g = jax.grad(lambda v: laplacian.laplacian_uniform(v, m.faces, m.face_valid))(noisy)
+    stepped = noisy - 0.5 * g
+    assert float(laplacian.laplacian_uniform(stepped, m.faces, m.face_valid)) < l_noisy
+
+
+def test_face_helpers():
+    verts = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    fv = jnp.ones(1, bool)
+    np.testing.assert_allclose(np.asarray(laplacian.face_normals(verts, faces, fv)),
+                               [[0, 0, 1]], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(laplacian.face_areas(verts, faces, fv)),
+                               [0.5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(laplacian.face_centroids(verts, faces, fv)),
+                               [[1 / 3, 1 / 3, 0]], atol=1e-6)
+
+
+def test_occupancy_grid_peak_at_gaussian():
+    xyz = jnp.asarray([[0.0, 0.0, 0.0]])
+    scaling = jnp.asarray([[0.2, 0.2, 0.2]])
+    rot = jnp.asarray([[1.0, 0, 0, 0]])
+    op = jnp.asarray([[0.8]])
+    grid = occupancy.gaussian_occupancy_grid(
+        xyz, scaling, rot, op, jnp.ones(1, bool), jnp.zeros(3), 1.0, res=16,
+        chunk=1024)
+    g = np.asarray(grid)
+    ci = np.unravel_index(g.argmax(), g.shape)
+    assert all(abs(c - 7.5) <= 1.0 for c in ci)  # peak at center
+    # nearest cell center is half a voxel (0.0625) off-center per axis:
+    # 0.8·exp(-0.5·3·(0.0625/0.2)²) ≈ 0.69
+    np.testing.assert_allclose(g.max(), 0.69, atol=0.03)
+    assert g[0, 0, 0] < 1e-3
+
+
+def test_surface_sampling():
+    m = _sphere_mesh()
+    pts, nrm = occupancy.sample_mesh_surface(jax.random.PRNGKey(1), m.verts,
+                                             m.faces, m.face_valid, 2048)
+    r = np.linalg.norm(np.asarray(pts) - 0.5, axis=1)
+    np.testing.assert_allclose(r.mean(), 0.3, atol=0.02)
+    # normals outward
+    d = np.asarray(pts) - 0.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    cos = (np.asarray(nrm) * d).sum(1)
+    assert (cos > 0.7).mean() > 0.95
+
+
+def test_chamfer_zero_identical(rng):
+    a = jnp.asarray(rng.normal(size=(256, 3)).astype(np.float32))
+    cd, _, _ = chamfer.chamfer(a, a)
+    assert float(cd) < 1e-6
+
+
+def test_chamfer_known_offset():
+    a = jnp.zeros((64, 3))
+    b = jnp.zeros((64, 3)).at[:, 0].set(0.5)
+    cd, _, _ = chamfer.chamfer(a, b)
+    np.testing.assert_allclose(float(cd), 0.5, atol=1e-5)  # 0.25 each direction
+
+
+def test_emd_translation(rng):
+    a = rng.normal(size=(128, 3)).astype(np.float32)
+    b = a + np.asarray([0.3, 0, 0], np.float32)
+    e = float(chamfer.emd_sinkhorn(jnp.asarray(a), jnp.asarray(b)))
+    # optimal transport of a translated cloud ≈ translation distance
+    np.testing.assert_allclose(e, 0.3, rtol=0.15)
+    e0 = float(chamfer.emd_sinkhorn(jnp.asarray(a), jnp.asarray(a)))
+    assert e0 < 0.05
