@@ -1,0 +1,114 @@
+"""Benchmark: mesh-phase training throughput at the reference problem size.
+
+Workload (matches the reference's headline configuration — SURVEY.md §6):
+  100k-capacity Gaussian set, 800x800 render, 288³ DPSR grid, full training
+  step (deform MLPs + GS splat + cycle loss + DPSR + marching-tets + mesh
+  render + laplacian + backward + 6-optimizer update) — the steady-state
+  mesh-phase iteration of train.py:129-530.
+
+Baseline: the reference publishes no numbers (BASELINE.md).  The driver's
+target is "1 TPU v5e chip ≈ 1x A100 running the CUDA reference".  The
+reference's mesh-phase step on A100 is estimated at ~3 it/s (deformable-3DGS
+alone runs ~25-30 it/s; adding a 288³ DPSR FFT fwd+bwd, DiffMC, nvdiffrast
+and two extra MLP passes costs ~6-10x) — vs_baseline is reported against
+that 3 it/s estimate until a measured reference number exists.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dgmesh_tpu.config import Config
+    from dgmesh_tpu.cameras import camera_from_c2w_blender
+    from dgmesh_tpu.train.loop import make_batch
+    from dgmesh_tpu.train.state import init_state
+    from dgmesh_tpu.train.step import StepContext, StepFlags, train_step
+
+    W = H = 800
+    GRID = 288
+    N_GAUSS = 100_000
+
+    cfg = Config()
+    cfg.model.is_blender = True
+    cfg.model.grid_res = GRID
+    cfg.model.sh_degree = 3
+    cfg.optimization.dpsr_sig = 3.0  # shipped configs (SURVEY §2.4)
+    t = cfg.tpu
+    t.max_gaussians = 131_072
+    t.max_verts = 262_144
+    t.max_faces = 524_288
+    t.max_gaussians_per_tile = 512
+    t.max_dup = 1 << 21
+    t.max_faces_per_tile = 128
+    t.max_face_dup = 1 << 20
+    t.tile_chunk = 125
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(N_GAUSS, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    r = 0.45 + 0.05 * rng.random((N_GAUSS, 1))
+    pts = (d * r).astype(np.float32)
+    cols = rng.random((N_GAUSS, 3)).astype(np.float32)
+
+    state = init_state(cfg, pts, cols)
+    # plausible mesh-phase state: oriented normals, tight scales
+    d_pad = np.zeros((t.max_gaussians, 3), np.float32)
+    d_pad[:N_GAUSS] = d
+    state = state._replace(gp=state.gp._replace(
+        normal=jnp.asarray(d_pad) * state.gs.alive[:, None],
+        scaling=jnp.where(state.gs.alive[:, None],
+                          jnp.log(jnp.asarray(0.01)), state.gp.scaling)))
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 2.5
+    img = rng.random((H, W, 3)).astype(np.float32)
+    cam = camera_from_c2w_blender(0, c2w, 0.8, W, H, 0.5, image=img,
+                                  alpha_mask=np.ones((H, W, 1), np.float32))
+    batch = make_batch(cam, 0.01, np.zeros(3, np.float32))
+
+    ctx = StepContext(cfg, W, H)
+    flags = StepFlags(warm=False, mesh=True, freeze_pos=False, use_normal=True,
+                      anchor=False, densify_stats=False, sh_degree=3)
+    step = jax.jit(lambda st, b, k: train_step(ctx, st, b, k, flags, None),
+                   donate_argnums=(0,))
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.time() - t0
+    print(f"# compile+first-step: {compile_s:.1f}s, loss={float(metrics['loss']):.4f}",
+          file=sys.stderr, flush=True)
+
+    n_iters = 20
+    t0 = time.time()
+    for i in range(n_iters):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+    ips = n_iters / dt
+    print(f"# steady: {ips:.3f} it/s over {n_iters} iters "
+          f"(mesh V={int(metrics.get('mesh_n_verts', 0))} "
+          f"F={int(metrics.get('mesh_n_faces', 0))})",
+          file=sys.stderr, flush=True)
+
+    baseline_est = 3.0  # estimated reference mesh-phase it/s on A100 (see docstring)
+    print(json.dumps({
+        "metric": "train_iters_per_sec_mesh_phase_800px_288grid_100k",
+        "value": round(ips, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(ips / baseline_est, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

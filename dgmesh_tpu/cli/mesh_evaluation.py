@@ -1,0 +1,121 @@
+"""Mesh quality evaluation CLI (reference: dgmesh/mesh_evaluation.py :31-248).
+
+Per-frame Chamfer + EMD between GT meshes (.obj) and predicted meshes (.ply),
+with the per-baseline-method coordinate-frame rotations of
+utils/pose_utils.py:102-138 and optional camera-origin shift from
+transforms_train.json (:136-142).  Writes eval_results.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+
+import numpy as np
+
+# reference: utils/pose_utils.py :102-138 — eval-time alignment rotations
+_R_X = lambda a: np.array([[1, 0, 0],
+                           [0, math.cos(a), -math.sin(a)],
+                           [0, math.sin(a), math.cos(a)]], np.float32)
+ROTATIONS = {
+    "dgmesh": _R_X(math.pi / 2),
+    "ours": _R_X(math.pi / 2),
+    "deformable_gaussian": _R_X(math.pi / 2),
+    "dnerf": _R_X(math.pi / 2),
+    "hexplane": np.eye(3, dtype=np.float32),
+    "tineuvox": np.eye(3, dtype=np.float32),
+    "kplane": np.eye(3, dtype=np.float32),
+    "none": np.eye(3, dtype=np.float32),
+}
+
+BLENDER2OPENCV = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float32)
+
+
+def load_mesh_any(path: str):
+    from ..utils_io import read_mesh_ply, read_obj
+    if path.endswith(".obj"):
+        return read_obj(path)
+    return read_mesh_ply(path)
+
+
+def sample_surface_np(verts, faces, n, seed=0):
+    rng = np.random.default_rng(seed)
+    tri = verts[faces]
+    areas = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1)
+    p = areas / max(areas.sum(), 1e-12)
+    fidx = rng.choice(len(faces), size=n, p=p)
+    uv = rng.random((n, 2))
+    su = np.sqrt(uv[:, :1])
+    b = np.concatenate([1 - su, su * (1 - uv[:, 1:]), su * uv[:, 1:]], 1)
+    t = verts[faces[fidx]]
+    return (b[:, :, None] * t).sum(1).astype(np.float32)
+
+
+def eval_pair(gt_path, pred_path, rotate, cam_origin=None, emd_samples=8192):
+    """reference eval_distance :31-95: CD on vertices (mean of both dirs / 2),
+    EMD on surface samples."""
+    import jax.numpy as jnp
+    from ..ops.chamfer import chamfer, emd_sinkhorn
+
+    gv, gf = load_mesh_any(gt_path)
+    pv, pf = load_mesh_any(pred_path)
+    if cam_origin is not None:
+        gv = gv - cam_origin[None].astype(np.float32)
+    pv = (rotate @ pv.T).T
+
+    d_ab, _, _ = chamfer(jnp.asarray(gv), jnp.asarray(pv))
+    cd = float(d_ab) / 2.0  # (mean_a2b + mean_b2a)/2 like chamferDist usage
+
+    gs = sample_surface_np(gv, gf, emd_samples, 0)
+    ps = sample_surface_np(pv, pf, emd_samples, 1)
+    emd = float(emd_sinkhorn(jnp.asarray(gs), jnp.asarray(ps)))
+    return cd, emd
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--gt_dir", required=True,
+                        help="directory of per-frame GT .obj meshes")
+    parser.add_argument("--pred_dir", required=True,
+                        help="directory of per-frame predicted .ply meshes")
+    parser.add_argument("--method", default="dgmesh", choices=list(ROTATIONS))
+    parser.add_argument("--transforms", default=None,
+                        help="transforms_train.json for camera-origin shift")
+    parser.add_argument("--emd_samples", type=int, default=8192)
+    parser.add_argument("--out", default="eval_results.txt")
+    args = parser.parse_args(argv)
+
+    cam_origin = None
+    if args.transforms:
+        with open(args.transforms) as f:
+            meta = json.load(f)
+        c2w = np.asarray(meta["frames"][0]["transform_matrix"], np.float32)
+        cam_origin = BLENDER2OPENCV @ c2w[:3, 3]
+
+    gts = sorted(f for f in os.listdir(args.gt_dir) if f.endswith(".obj"))
+    preds = sorted(f for f in os.listdir(args.pred_dir) if f.endswith(".ply"))
+    n = min(len(gts), len(preds))
+    rot = ROTATIONS[args.method]
+
+    cds, emds, lines = [], [], []
+    for i in range(n):
+        cd, emd = eval_pair(os.path.join(args.gt_dir, gts[i]),
+                            os.path.join(args.pred_dir, preds[i]),
+                            rot, cam_origin, args.emd_samples)
+        cds.append(cd)
+        emds.append(emd)
+        lines.append(f"frame {i}: CD {cd:.6f} EMD {emd:.6f}")
+        print(lines[-1], flush=True)
+
+    lines.append(f"mean CD {np.mean(cds):.6f}")
+    lines.append(f"mean EMD {np.mean(emds):.6f}")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(lines[-2], lines[-1], flush=True)
+
+
+if __name__ == "__main__":
+    main()

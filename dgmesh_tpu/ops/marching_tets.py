@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .compaction import compact_indices
+
 # Cube corners, x-major bit layout: corner i = (i>>2 & 1, i>>1 & 1, i & 1).
 _CORNERS = np.array([[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)],
                     np.int32)
@@ -173,13 +175,11 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     phi = phi.reshape(res, res, res)
     sign = phi > 0.0                                     # True = outside
 
-    # ---- vertices: one per active lattice edge ----
+    # ---- vertices: one per active lattice edge (gather-only compaction) ----
     act = _edge_active_masks(sign, res)                  # (res³,7)
     act_flat = act.reshape(-1)
-    n_verts = jnp.sum(act_flat.astype(jnp.int32))
-    (edge_ids,) = jnp.nonzero(act_flat, size=cfg.max_verts,
-                              fill_value=res * res * res * 7)
-    edge_ids = edge_ids.astype(jnp.int32)
+    edge_ids, n_verts = compact_indices(act_flat, cfg.max_verts,
+                                        res * res * res * 7)
     vert_valid = jnp.arange(cfg.max_verts) < n_verts
 
     point_id = edge_ids // 7
@@ -210,10 +210,7 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
         corners.append(s[dx:dx + c, dy:dy + c, dz:dz + c])
     packed = sum(cor.astype(jnp.int32) << i for i, cor in enumerate(corners))
     cube_active = (packed != 0) & (packed != 255)
-    n_cubes = jnp.sum(cube_active.astype(jnp.int32))
-    (cube_ids,) = jnp.nonzero(cube_active.reshape(-1), size=cfg.max_cubes,
-                              fill_value=0)
-    cube_ids = cube_ids.astype(jnp.int32)
+    cube_ids, n_cubes = compact_indices(cube_active.reshape(-1), cfg.max_cubes, 0)
     cube_ok = jnp.arange(cfg.max_cubes) < jnp.minimum(n_cubes, cfg.max_cubes)
 
     cz = cube_ids % c
@@ -249,8 +246,7 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
         & cube_ok[:, None, None]                                   # (C,6,2)
     flat_faces = vidx.reshape(-1, 3)
     flat_valid = tri_valid.reshape(-1)
-    n_faces_total = jnp.sum(flat_valid.astype(jnp.int32))
-    (face_slots,) = jnp.nonzero(flat_valid, size=cfg.max_faces, fill_value=0)
+    face_slots, n_faces_total = compact_indices(flat_valid, cfg.max_faces, 0)
     faces = flat_faces[face_slots]
     face_valid = jnp.arange(cfg.max_faces) < jnp.minimum(n_faces_total, cfg.max_faces)
     faces = jnp.where(face_valid[:, None], faces, 0)

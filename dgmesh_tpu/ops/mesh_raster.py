@@ -215,6 +215,7 @@ def _shade_chunk(tile_ids, tidx, rast, colors_v, faces, bg, cfg, want_soft):
 
 def _untile(x, cfg, channels=None):
     T = cfg.num_tiles
+    x = x[:T]  # drop lax.map chunk padding
     if channels:
         x = x.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, channels)
         x = x.transpose(0, 2, 1, 3, 4).reshape(cfg.tiles_y * cfg.tile_h,

@@ -1,0 +1,329 @@
+"""Structural Gaussian-set operations on padded buffers, all inside jit.
+
+Replaces the reference's dynamic-shape tensor surgery
+(gaussian_model_dpsr_dynamic_anchor.py):
+  densify_and_clone :500-517 / densify_and_split :471-498 / prune :531-545 /
+  densify_and_prune :546-556 / reset_opacity :291-294 /
+  normal_initialization :684-734 / anchor_mesh :736-828 with
+  average_and_prune :599-649 and densify_from_face :651-677.
+
+Slot model: capacity-M arrays + ``alive`` mask.  "Append" = write into free
+slots found with size-bounded nonzero; "delete" = clear mask + zero Adam
+moments (the reference's cat/_prune optimizer surgery keeps old moments for
+survivors and zero moments for new tensors — identical here by construction).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models import gaussians as G
+from ..models.gaussians import GaussianParams, GaussianStats, inverse_sigmoid
+from ..ops.compaction import compact_indices
+from ..ops.knn import knn, mean_knn_dist2
+from ..ops.laplacian import face_centroids, face_normals
+from ..ops.occupancy import gaussian_occupancy_grid, sample_mesh_surface
+from ..ops.quaternion import quat_to_rotmat
+from ..ops.marching_tets import MTConfig, marching_tets
+
+PER_GAUSS = ("xyz", "f_dc", "f_rest", "scaling", "rotation", "opacity", "normal")
+
+
+def _map_slots(gp, mu, nu, fn):
+    """Apply fn(name, arr) to every per-gaussian leaf of params + moments."""
+    def apply(tree):
+        return tree._replace(**{n: fn(n, getattr(tree, n)) for n in PER_GAUSS})
+    return apply(gp), apply(mu), apply(nu)
+
+
+def _zero_moments_at(mu, nu, mask):
+    def z(_, arr):
+        m = mask.reshape((-1,) + (1,) * (arr.ndim - 1))
+        return jnp.where(m, 0.0, arr)
+    mu = mu._replace(**{n: z(n, getattr(mu, n)) for n in PER_GAUSS})
+    nu = nu._replace(**{n: z(n, getattr(nu, n)) for n in PER_GAUSS})
+    return mu, nu
+
+
+def _copy_rows(gp, src_idx, dst_idx, valid, values=None):
+    """gp[dst] = values[src-row] (or gp[src]) under ``valid``; OOB-drop."""
+    M = gp.xyz.shape[0]
+    dst = jnp.where(valid, dst_idx, M)
+
+    def cp(name, arr):
+        vals = arr[src_idx] if values is None or name not in values else values[name]
+        return arr.at[dst].set(vals, mode="drop")
+    return gp._replace(**{n: cp(n, getattr(gp, n)) for n in PER_GAUSS})
+
+
+def densify_and_prune(cfg: Config, gp: GaussianParams, gs: GaussianStats,
+                      mu, nu, extent, key, use_size_threshold: bool):
+    """reference densify_and_prune :546-556 (+ clone/split/prune)."""
+    o = cfg.optimization
+    M = gp.xyz.shape[0]
+    percent_dense = 0.01  # reference arguments/__init__.py:126
+    grads = jnp.where(gs.denom > 0, gs.xyz_grad_accum / jnp.maximum(gs.denom, 1), 0.0)
+    scale_act = G.get_scaling(gp)
+    maxscale = scale_act.max(axis=-1)
+    hit = gs.alive & (grads >= o.densify_grad_threshold)
+
+    # ---- clone (small gaussians duplicated in place) :500-517 ----
+    clone_sel = hit & (maxscale <= percent_dense * extent)
+    src_c, _ = compact_indices(clone_sel, M, M)
+    free_c, _ = compact_indices(~gs.alive, M, M)
+    n_clone = jnp.minimum(clone_sel.sum(), (~gs.alive).sum())
+    jvalid = jnp.arange(M) < n_clone
+    src_c = jnp.minimum(src_c, M - 1)
+    gp = _copy_rows(gp, src_c, free_c, jvalid)
+    alive = gs.alive.at[jnp.where(jvalid, free_c, M)].set(True, mode="drop")
+
+    # ---- split (big gaussians → 2 children, parent dies) :471-498 ----
+    split_sel = hit & (maxscale > percent_dense * extent)
+    src_s, _ = compact_indices(split_sel, M, M)
+    n_split = split_sel.sum()
+    free_s, _ = compact_indices(~alive, M, M)
+    n_free2 = (~alive).sum()
+    n_split = jnp.minimum(n_split, n_free2)
+    svalid = jnp.arange(M) < n_split
+    src_s = jnp.minimum(src_s, M - 1)
+
+    k1, k2 = jax.random.split(key)
+    stds = scale_act[src_s]
+    rots = quat_to_rotmat(gp.rotation[src_s])
+    child_vals = {}
+    for which, kk in ((0, k1), (1, k2)):
+        samples = jax.random.normal(kk, (M, 3)) * stds
+        off = jnp.einsum("nij,nj->ni", rots, samples)
+        child_vals[which] = dict(
+            xyz=gp.xyz[src_s] + off,
+            scaling=jnp.log(jnp.maximum(scale_act[src_s] / (0.8 * 2), 1e-10)),
+        )
+    # child 0 overwrites the parent slot; child 1 goes to a free slot
+    gp = _copy_rows(gp, src_s, src_s, svalid, values=dict(
+        xyz=child_vals[0]["xyz"], scaling=child_vals[0]["scaling"]))
+    gp = _copy_rows(gp, src_s, free_s, svalid, values=dict(
+        xyz=child_vals[1]["xyz"], scaling=child_vals[1]["scaling"]))
+    alive = alive.at[jnp.where(svalid, free_s, M)].set(True, mode="drop")
+    split_touched = jnp.zeros(M, bool).at[jnp.where(svalid, src_s, M)].set(True, mode="drop")
+    split_touched = split_touched.at[jnp.where(svalid, free_s, M)].set(True, mode="drop")
+
+    # ---- prune :531-545 ----
+    prune = alive & (G.get_opacity(gp).reshape(-1) < cfg.model.prune_threshold)
+    if use_size_threshold:
+        prune = prune | (alive & (gs.max_radii2d > 20.0)) \
+            | (alive & (G.get_scaling(gp).max(axis=-1) > 0.1 * extent))
+    alive = alive & ~prune
+
+    # moments: zero for clones' new slots, both split children, pruned slots
+    touched = jnp.zeros(M, bool).at[jnp.where(jvalid, free_c, M)].set(True, mode="drop")
+    touched = touched | split_touched | prune
+    mu, nu = _zero_moments_at(mu, nu, touched)
+
+    gs = gs._replace(alive=alive, max_radii2d=jnp.zeros(M),
+                     xyz_grad_accum=jnp.zeros(M), denom=jnp.zeros(M))
+    return gp, gs, mu, nu
+
+
+def reset_opacity(gp: GaussianParams, mu, nu):
+    """reference reset_opacity :291-294 (+ zeroed opacity moments)."""
+    op = G.get_opacity(gp)
+    new_op = inverse_sigmoid(jnp.minimum(op, 0.01))
+    gp = gp._replace(opacity=new_op)
+    mu = mu._replace(opacity=jnp.zeros_like(mu.opacity))
+    nu = nu._replace(opacity=jnp.zeros_like(nu.opacity))
+    return gp, mu, nu
+
+
+def normal_initialization(cfg: Config, ctx_nets_def, gp: GaussianParams,
+                          gs: GaussianStats, nets, fid, key,
+                          occ_res: int = 256, occ_bbox_scale: float = 2.0):
+    """reference normal_initialization :684-734, fully on-device.
+
+    occupancy grid of the DEFORMED gaussians → iso-surface at 0.01 → surface
+    samples → 1-NN normal transfer into gp.normal; resets density_thres.
+    """
+    M = gp.xyz.shape[0]
+    t_in = jnp.full((M, 1), fid)
+    d_xyz, d_rot, d_scale, _ = ctx_nets_def.deform.apply(
+        nets.deform, gp.xyz, t_in)
+    pts = gp.xyz + d_xyz
+
+    occ = gaussian_occupancy_grid(
+        pts, G.get_scaling(gp) + d_scale, G.get_rotation(gp) + d_rot,
+        G.get_opacity(gp), gs.alive, jnp.zeros(3), occ_bbox_scale, occ_res)
+    phi = 0.01 - occ  # outside (occ≈0) positive; surface at occ=0.01
+    mt_cfg = MTConfig(res=occ_res, max_verts=cfg.tpu.max_verts,
+                      max_faces=cfg.tpu.max_faces,
+                      max_cubes=max(cfg.tpu.max_verts, cfg.tpu.max_faces // 2))
+    m = marching_tets(phi, mt_cfg)
+    verts_w = m.verts * 2.0 * occ_bbox_scale - occ_bbox_scale
+
+    samp, samp_n = sample_mesh_surface(key, verts_w, m.faces, m.face_valid, M)
+    _, idx = knn(pts, samp, 1)
+    normals = samp_n[idx[:, 0]]
+    normals = normals / (jnp.linalg.norm(normals, axis=-1, keepdims=True) + 1e-12)
+    gp = gp._replace(
+        normal=jnp.where(gs.alive[:, None], normals, 0.0),
+        density_thres=jnp.asarray(cfg.optimization.init_density_threshold, jnp.float32))
+    return gp, m
+
+
+class AnchorInfo(NamedTuple):
+    centroid_of_gaussian: jnp.ndarray  # (M,3) nearest face centroid per gaussian
+    gauss_1_1_mask: jnp.ndarray        # (M,) gaussians in 1-1 faces (pre-anchor alive)
+    loss_n_1: jnp.ndarray              # () constant term (reference computes it no-grad)
+    stats: dict
+
+
+def anchor_step(cfg: Config, nets_def, gp: GaussianParams, gs: GaussianStats,
+                mu, nu, nets, fid, mesh_verts, mesh_faces, face_valid, key):
+    """reference anchor_mesh :736-828, jit-able.
+
+    Returns (gp, gs, mu, nu, AnchorInfo).  The differentiable 1-1 distance
+    loss is re-derived in the training loss from AnchorInfo (the reference
+    backprops it through gaussian xyz + forward deform).
+    """
+    o = cfg.optimization
+    M = gp.xyz.shape[0]
+    F = mesh_faces.shape[0]
+    pre_alive = gs.alive
+    topn = 2  # reference anchor_topn default; merge logic below is topn=2
+
+    t_in = jnp.full((M, 1), fid)
+    d_xyz, d_rot, d_scale, d_norm = nets_def.deform.apply(nets.deform, gp.xyz, t_in)
+    gpts = gp.xyz + d_xyz
+
+    cent = face_centroids(mesh_verts, mesh_faces, face_valid)
+    fnorm = face_normals(mesh_verts, mesh_faces, face_valid)
+
+    d2, nn = knn(gpts, cent, 1, ref_valid=face_valid)
+    d2, nn = d2[:, 0], nn[:, 0]
+    # reference quirk preserved: knn_points returns SQUARED distances and they
+    # are compared against the UNsquared scaled radius (:743-765)
+    radius = gs.gaussian_scale * o.anchor_search_radius
+    alive1 = gs.alive & (d2 < radius)
+
+    counts = jnp.zeros(F, jnp.int32).at[nn].add(alive1.astype(jnp.int32))
+    c1 = face_valid & (counts == 1)
+    cn = face_valid & (counts > 1)
+    c0 = face_valid & (counts == 0)
+
+    g11 = alive1 & c1[nn]
+
+    # ---- n-1 faces: pick bs at random, merge first-topn gaussians ----
+    bs = o.anchor_n_1_bs
+    k1, k2, k3 = jax.random.split(key, 3)
+    scores = jnp.where(cn, jax.random.uniform(k1, (F,)), -jnp.inf)
+    _, sel_f = jax.lax.top_k(scores, bs)              # (bs,) face ids
+    sel_valid = jnp.take(cn, sel_f)
+    fsel_mask = jnp.zeros(F, bool).at[jnp.where(sel_valid, sel_f, F)].set(True, mode="drop")
+
+    # rank of each gaussian within its assigned face (by slot order, like the
+    # reference's cumsum-over-G trick :795-801)
+    gkey = jnp.where(alive1, nn, F).astype(jnp.int32)
+    sorted_key, sorted_gid = jax.lax.sort(
+        (gkey, jnp.arange(M, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    own_start = jnp.searchsorted(sorted_key, gkey)
+    pos_sorted = jnp.zeros(M, jnp.int32).at[sorted_gid].set(jnp.arange(M, dtype=jnp.int32))
+    rank = pos_sorted - own_start                     # 0-based rank within face
+
+    in_sel = alive1 & fsel_mask[nn]
+    to_delete = in_sel & (rank >= topn)               # extras beyond topn (:802-805)
+
+    # per selected face: first two gaussians
+    f_start = jnp.searchsorted(sorted_key, sel_f)
+    ga = sorted_gid[jnp.minimum(f_start, M - 1)]
+    gb = sorted_gid[jnp.minimum(f_start + 1, M - 1)]
+    merge_valid = sel_valid  # counts>1 ⇒ both exist
+
+    # average in deformed space (average_and_prune :599-649): raw params +
+    # deform offsets, mean, then deform_back
+    def gather2(arr):
+        return (arr[ga] + arr[gb]) / 2.0
+
+    sel_t = jnp.full((bs, 1), fid)
+    mdef_xyz = (gpts[ga] + gpts[gb]) / 2.0
+    mdef_scaling = gather2(gp.scaling) + (d_scale[ga] + d_scale[gb]) / 2.0
+    mdef_rot = gather2(gp.rotation) + (d_rot[ga] + d_rot[gb]) / 2.0
+    mdef_norm = gather2(gp.normal) + (d_norm[ga] + d_norm[gb]) / 2.0
+
+    db_xyz, db_rot, db_scale, db_norm = nets_def.deform_back.apply(
+        nets.deform_back, mdef_xyz, sel_t)
+    new_xyz = mdef_xyz + db_xyz
+    new_scaling = mdef_scaling + db_scale
+    new_rot = mdef_rot + db_rot
+    new_norm = mdef_norm + db_norm
+    new_norm = new_norm / (jnp.linalg.norm(new_norm, axis=-1, keepdims=True) + 1e-12)
+
+    loss_n_1 = jnp.sum(jnp.where(
+        merge_valid, jnp.linalg.norm(cent[sel_f] - mdef_xyz, axis=-1), 0.0)
+    ) / jnp.maximum(merge_valid.sum(), 1)
+
+    # write merged gaussian into slot ga; kill gb and the extras
+    merged_vals = dict(
+        xyz=new_xyz, scaling=new_scaling, rotation=new_rot, normal=new_norm,
+        f_dc=gather2(gp.f_dc), f_rest=gather2(gp.f_rest), opacity=gather2(gp.opacity))
+    gp = _copy_rows(gp, jnp.minimum(ga, M - 1), ga, merge_valid, values=merged_vals)
+    killed = jnp.zeros(M, bool).at[jnp.where(merge_valid, gb, M)].set(True, mode="drop")
+    alive2 = alive1 & ~to_delete & ~killed
+
+    # ---- 0-1 faces: spawn at centroids (densify_from_face :651-677) ----
+    inc = o.anchor_0_1_bs
+    scores0 = jnp.where(c0, jax.random.uniform(k2, (F,)), -jnp.inf)
+    _, sel0 = jax.lax.top_k(scores0, inc)
+    sel0_valid = jnp.take(c0, sel0)
+    sp_xyz = cent[sel0]
+    sp_norm = fnorm[sel0]
+    # scale: kNN among the spawned batch (reference uses distCUDA2 on batch)
+    sd2 = jnp.clip(mean_knn_dist2(sp_xyz, sel0_valid, k=3), 1e-7, None)
+    sp_scaling = jnp.log(jnp.sqrt(sd2))[:, None] * jnp.ones((1, 3))
+    ang = jax.random.normal(k3, (inc, 1)) * 2 * jnp.pi
+    axis = sp_norm / (jnp.linalg.norm(sp_norm, axis=-1, keepdims=True) + 1e-12)
+    half = ang / 2.0
+    sp_rot = jnp.concatenate([jnp.cos(half), axis * jnp.sin(half)], axis=-1)
+
+    sp_t = jnp.full((inc, 1), fid)
+    sb_xyz, sb_rot, sb_scale, sb_norm = nets_def.deform_back.apply(
+        nets.deform_back, sp_xyz, sp_t)
+    sp_vals = dict(
+        xyz=sp_xyz + sb_xyz,
+        scaling=sp_scaling + sb_scale,
+        rotation=sp_rot + sb_rot,
+        normal=(lambda v: v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12))(sp_norm + sb_norm),
+        f_dc=jnp.ones((inc, 1, 3)),
+        f_rest=jnp.zeros((inc,) + gp.f_rest.shape[1:]),
+        opacity=jnp.full((inc, 1), inverse_sigmoid(jnp.asarray(0.1))))
+
+    free_idx, _ = compact_indices(~alive2, M, M)
+    n_spawn = jnp.minimum(sel0_valid.sum(), (~alive2).sum())
+    # pack valid spawns to the front so the first n_spawn rows are the ones written
+    spawn_rows, _ = compact_indices(sel0_valid, inc, 0)
+    svalid = jnp.arange(inc) < n_spawn
+    dst = jnp.where(svalid, free_idx[:inc], M)
+    gp = gp._replace(**{
+        n: getattr(gp, n).at[dst].set(sp_vals[n][spawn_rows], mode="drop")
+        for n in PER_GAUSS})
+    alive3 = alive2.at[dst].set(True, mode="drop")
+
+    # zero moments for everything structurally touched
+    touched = killed | to_delete | (alive1 & ~alive2)
+    touched = touched.at[jnp.where(merge_valid, ga, M)].set(True, mode="drop")
+    touched = touched.at[dst].set(True, mode="drop")
+    touched = touched | (pre_alive & ~alive1)         # radius-pruned
+    mu, nu = _zero_moments_at(mu, nu, touched)
+
+    gs = gs._replace(alive=alive3, max_radii2d=jnp.zeros(M),
+                     xyz_grad_accum=jnp.zeros(M), denom=jnp.zeros(M))
+    info = AnchorInfo(
+        centroid_of_gaussian=jax.lax.stop_gradient(cent[nn]),
+        gauss_1_1_mask=g11,
+        loss_n_1=jax.lax.stop_gradient(loss_n_1),
+        stats=dict(n_alive_after=alive3.sum(),
+                   n_pruned_radius=(pre_alive & ~alive1).sum(),
+                   n_merged=merge_valid.sum(), n_spawned=n_spawn,
+                   hit_1_1=c1.sum(), faces=face_valid.sum()))
+    return gp, gs, mu, nu, info

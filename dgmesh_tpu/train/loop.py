@@ -1,0 +1,210 @@
+"""Host-side training driver.
+
+reference: train.py training() :50-556 — the Python hot loop.  Here the whole
+iteration body is compiled (train/step.py); the host only: picks the random
+camera (reference :146-151), selects the static phase flags, and invokes the
+sparse structural kernels (densify / opacity reset / normal init / anchor) at
+the reference's cadence (:243-246, :287-304, :489-515).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import random
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import Camera, gl_projection_from_K
+from ..config import Config
+from ..models import gaussians as G
+from ..ops import splat
+from .densify import (anchor_step, densify_and_prune, normal_initialization,
+                      reset_opacity)
+from .state import TrainState, init_state
+from .step import Batch, StepContext, StepFlags, extract_mesh, train_step
+
+
+def make_batch(cam: Camera, time_interval: float, bg: np.ndarray) -> Batch:
+    gt = np.transpose(cam.image, (2, 0, 1)).astype(np.float32)
+    mask = (cam.alpha_mask[..., 0] if cam.alpha_mask is not None
+            else np.ones(cam.image.shape[:2], np.float32))
+    return Batch(
+        cam=splat.CameraArrays.from_camera(cam),
+        mesh_pose=jnp.asarray(cam.mesh_pose()),
+        mesh_proj=jnp.asarray(gl_projection_from_K(cam.intrinsics, cam.width,
+                                                   cam.height)),
+        gt_image=jnp.asarray(gt),
+        gt_mask=jnp.asarray(mask),
+        fid=jnp.asarray(cam.fid, jnp.float32),
+        time_interval=jnp.asarray(time_interval, jnp.float32),
+        bg=jnp.asarray(bg, jnp.float32),
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: Config, scene, state: Optional[TrainState] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.scene = scene
+        cam0 = scene.train_cameras[0]
+        self.ctx = StepContext(cfg, cam0.width, cam0.height)
+        if state is None:
+            pc = scene.point_cloud
+            pts, cols = pc.points, pc.colors
+            cap = cfg.tpu.max_gaussians
+            if len(pts) > cap:
+                # leave headroom for densification; deterministic subsample
+                keep = np.random.default_rng(seed).choice(
+                    len(pts), size=cap // 2, replace=False)
+                print(f"init cloud {len(pts)} > capacity {cap}: subsampling "
+                      f"to {cap // 2}", flush=True)
+                pts, cols = pts[keep], cols[keep]
+            state = init_state(cfg, pts, cols, seed=seed)
+        self.state = state
+        self.bg = np.array([1, 1, 1] if cfg.model.white_background else [0, 0, 0],
+                           np.float32)
+        self.key = jax.random.PRNGKey(seed)
+        self.viewpoint_stack = []
+        self.rng = random.Random(seed)
+        self._step_cache: Dict = {}
+        self._jit_misc = {}
+        self.metrics_history = []
+
+        ctx = self.ctx
+
+        def _anchor_fn(state: TrainState, batch: Batch, key):
+            k1, k2 = jax.random.split(key)
+            M = state.gp.xyz.shape[0]
+            t_in = jnp.full((M, 1), batch.fid)
+            d_xyz, d_rot, d_scale, _ = ctx.nets_def.deform.apply(
+                state.nets.deform, state.gp.xyz, t_in)
+            d_normal = ctx.nets_def.deform_normal.apply(
+                state.nets.deform_normal, state.gp.xyz, t_in)
+            mesh = extract_mesh(ctx, state.gp, state.gs, d_xyz, d_normal,
+                                freeze_pos=True)
+            return anchor_step(cfg, ctx.nets_def, state.gp, state.gs,
+                               state.g_mu, state.g_nu, state.nets, batch.fid,
+                               mesh.verts, mesh.faces, mesh.face_valid, k2)
+
+        self.anchor_fn = jax.jit(_anchor_fn)
+        self.densify_fn = jax.jit(
+            lambda gp, gs, mu, nu, extent, key, use_size: densify_and_prune(
+                cfg, gp, gs, mu, nu, extent, key, use_size),
+            static_argnames=("use_size",))
+        self.reset_opacity_fn = jax.jit(reset_opacity)
+        self.normal_init_fn = jax.jit(
+            lambda gp, gs, nets, fid, key: normal_initialization(
+                cfg, ctx.nets_def, gp, gs, nets, fid, key,
+                occ_res=min(cfg.model.grid_res, 256)))
+
+    # ---- flag schedule (reference train.py gates) ----
+    def flags_for(self, it: int) -> StepFlags:
+        o = self.cfg.optimization
+        mesh = it >= o.dpsr_iter
+        anchor = (mesh and it > o.anchor_iter and it % o.anchor_interval == 0
+                  and self.cfg.model.use_anchor > 0)
+        densify_now = (it < o.densify_until_iter and it > o.densify_from_iter
+                       and it % o.densification_interval == 0)
+        return StepFlags(
+            warm=it < o.warm_up,
+            mesh=mesh,
+            freeze_pos=it < o.dpsr_iter + o.normal_warm_up,
+            use_normal=it >= o.dpsr_iter + 2000,
+            anchor=anchor,
+            skip_gaussian_update=anchor or densify_now,
+            densify_stats=it < o.densify_until_iter,
+            sh_degree=min(it // 1000, self.cfg.model.sh_degree),
+        )
+
+    def _step_fn(self, flags: StepFlags):
+        if flags not in self._step_cache:
+            ctx = self.ctx
+
+            def fn(state, batch, key, anchor_info):
+                return train_step(ctx, state, batch, key, flags, anchor_info)
+
+            donate = (0,) if self.cfg.tpu.donate else ()
+            self._step_cache[flags] = jax.jit(fn, donate_argnums=donate)
+        return self._step_cache[flags]
+
+    def next_camera(self) -> Camera:
+        if not self.viewpoint_stack:
+            self.viewpoint_stack = list(self.scene.train_cameras)
+        idx = self.rng.randint(0, len(self.viewpoint_stack) - 1)
+        return self.viewpoint_stack.pop(idx)
+
+    def run_iteration(self, it: int):
+        o = self.cfg.optimization
+        cam = self.next_camera()
+        batch = make_batch(cam, self.scene.time_interval, self.bg)
+        self.key, k1, k2, k3 = jax.random.split(self.key, 4)
+        flags = self.flags_for(it)
+
+        # one-shot normal initialization (train.py:243-246)
+        if it == o.dpsr_iter:
+            gp, _ = self.normal_init_fn(self.state.gp, self.state.gs,
+                                        self.state.nets, batch.fid, k3)
+            self.state = self.state._replace(gp=gp)
+
+        anchor_info = None
+        anchor_result = None
+        if flags.anchor:
+            gp_a, gs_a, mu_a, nu_a, info = self.anchor_fn(self.state, batch, k1)
+            anchor_result = (gp_a, gs_a, mu_a, nu_a)
+            anchor_info = info._asdict()
+
+        step_fn = self._step_fn(flags)
+        new_state, metrics = step_fn(self.state, batch, k2, anchor_info)
+
+        if anchor_result is not None:
+            gp_a, gs_a, mu_a, nu_a = anchor_result
+            new_state = new_state._replace(gp=gp_a, gs=gs_a, g_mu=mu_a, g_nu=nu_a)
+
+        # densify / prune window (train.py:489-515)
+        if flags.densify_stats and not flags.anchor:
+            if it > o.densify_from_iter and it % o.densification_interval == 0:
+                use_size = it > o.opacity_reset_interval
+                gp, gs, mu, nu = self.densify_fn(
+                    new_state.gp, new_state.gs, new_state.g_mu, new_state.g_nu,
+                    jnp.asarray(self.scene.cameras_extent, jnp.float32), k3,
+                    use_size=use_size)
+                new_state = new_state._replace(gp=gp, gs=gs, g_mu=mu, g_nu=nu)
+            if it % o.opacity_reset_interval == 0 or (
+                    self.cfg.model.white_background and it == o.densify_from_iter):
+                gp, mu, nu = self.reset_opacity_fn(new_state.gp, new_state.g_mu,
+                                                   new_state.g_nu)
+                new_state = new_state._replace(gp=gp, g_mu=mu, g_nu=nu)
+
+        self.state = new_state
+        return metrics
+
+    def train(self, iterations: Optional[int] = None, log_every: int = 100,
+              first_iter: int = 1, on_log=None):
+        o = self.cfg.optimization
+        iterations = iterations or o.iterations
+        t0 = time.time()
+        window = t0
+        for it in range(first_iter, iterations + 1):
+            metrics = self.run_iteration(it)
+            if it % log_every == 0 or it == iterations:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - window
+                window = time.time()
+                m["iters_per_sec"] = log_every / dt if dt > 0 else 0.0
+                m["iter"] = it
+                self.metrics_history.append(m)
+                line = (f"[{it}] loss={m.get('loss', 0):.4f} "
+                        f"psnr={m.get('img_psnr', 0):.2f} "
+                        + (f"mesh_psnr={m.get('mesh_psnr', 0):.2f} " if "mesh_psnr" in m else "")
+                        + f"alive={int(m.get('n_alive', 0))} "
+                        f"it/s={m['iters_per_sec']:.2f}")
+                print(line, flush=True)
+                if on_log:
+                    on_log(m)
+        return self.metrics_history
