@@ -24,7 +24,18 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
+    # persistent compile cache: the 288³ mesh-phase graph takes many minutes
+    # to compile through the remote-compile tunnel; cache it on disk.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from dgmesh_tpu.config import Config
     from dgmesh_tpu.cameras import camera_from_c2w_blender

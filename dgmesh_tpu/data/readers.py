@@ -199,11 +199,180 @@ def read_colmap_scene(path: str, images: str = "images",
                      nerf_normalization=get_nerfpp_norm(train))
 
 
+def _camera_nerfies_from_json(path: str, ratio: float) -> dict:
+    """Nerfies per-camera json (reference: utils/camera_utils.py
+    camera_nerfies_from_JSON :98-118): orientation/position/focal/pp scaled by
+    the dataset downsample ratio."""
+    with open(path) as f:
+        j = json.load(f)
+    return dict(
+        orientation=np.asarray(j["orientation"], np.float64),
+        position=np.asarray(j["position"], np.float64),
+        focal_length=float(j["focal_length"]) * ratio,
+        principal_point=np.asarray(j["principal_point"], np.float64) * ratio,
+        image_size=np.asarray(j["image_size"], np.int32) * ratio
+        if "image_size" in j else None,
+    )
+
+
+def _masked_image(img_path: str, mask_path: str, white_background: bool):
+    from PIL import Image
+    image = np.asarray(Image.open(img_path)).astype(np.float32)[..., :3] / 255.0
+    mask = np.asarray(Image.open(mask_path))
+    if mask.ndim == 3:
+        mask = mask[..., 0] > 0   # DEVA mask folders
+    else:
+        mask = mask > 0           # SAM masks
+    bg = 1.0 if white_background else 0.0
+    image = np.where(mask[..., None], image, bg).astype(np.float32)
+    return image, mask[..., None].astype(np.float32)
+
+
+def _nerfies_style_cameras(path: str, white_background: bool, ratio: float,
+                           scene_center, coord_scale):
+    """Shared Nerfies/iPhone camera loop (dataset_readers.py:545-800)."""
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(path, "dataset.json")) as f:
+        ds = json.load(f)
+    train_ids = ds["train_ids"]
+    val_ids = ds["val_ids"]
+    all_ids = train_ids + val_ids
+    key = "time_id" if "time_id" in meta[all_ids[0]] else "warp_id"
+    times = [meta[i][key] for i in all_ids]
+    max_t = max(max(times), 1)
+    times = [t / max_t for t in times]
+
+    cams = []
+    sub = f"{int(1 / ratio)}x"
+    for idx, im in enumerate(all_ids):
+        cp = _camera_nerfies_from_json(os.path.join(path, "camera", im + ".json"),
+                                       ratio)
+        pos = cp["position"]
+        if scene_center is not None:
+            pos = (pos - np.asarray(scene_center)) * coord_scale
+        orientation = cp["orientation"].T
+        position = -pos @ orientation
+        img_path = os.path.join(path, "rgb", sub, im + ".png")
+        mask_path = os.path.join(path, "mask-tracking", sub, "Annotations",
+                                 im + ".png")
+        image, alpha = _masked_image(img_path, mask_path, white_background)
+        H, W = image.shape[:2]
+        focal = cp["focal_length"]
+        pp = cp["principal_point"]
+        K = np.array([[focal, 0, pp[0]], [0, focal, pp[1]], [0, 0, 1]],
+                     np.float32)
+        R = orientation
+        T = position
+        w2c = np.eye(4)
+        w2c[:3, :3] = R.T
+        w2c[:3, 3] = T
+        c2w = np.linalg.inv(w2c)      # opencv
+        c2w[:3, 1:3] *= -1            # → blender/OpenGL
+        cams.append(Camera(uid=idx, R=R, T=T,
+                           fovx=focal2fov(focal, W), fovy=focal2fov(focal, H),
+                           image=image, alpha_mask=alpha, fid=times[idx],
+                           width=W, height=H, image_name=im, K=K,
+                           orig_transform=c2w.astype(np.float32)))
+    return cams, len(train_ids)
+
+
+def _pcd_from_points_npy(path: str, scene_center=None, coord_scale=None):
+    ply_path = os.path.join(path, "points3d.ply")
+    if os.path.exists(ply_path):
+        return load_points_ply(ply_path)
+    xyz = np.load(os.path.join(path, "points.npy"))
+    if scene_center is not None:
+        xyz = (xyz - np.asarray(scene_center)) * coord_scale
+    n = xyz.shape[0]
+    colors = np.random.random((n, 3)).astype(np.float32) * (0.5 / 255) + 0.5
+    return PointCloud(points=xyz.astype(np.float32), colors=colors)
+
+
+def read_nerfies_scene(path: str, white_background: bool = False,
+                       eval_split: bool = True, nerfies_ratio: float = 0.5,
+                       **_) -> SceneInfo:
+    """Nerfies loader (dataset_readers.py:545-677)."""
+    with open(os.path.join(path, "scene.json")) as f:
+        scene_json = json.load(f)
+    cams, train_num = _nerfies_style_cameras(
+        path, white_background, nerfies_ratio, scene_json["center"],
+        scene_json["scale"])
+    train = cams[:train_num] if eval_split else cams
+    test = cams[train_num:] if eval_split else []
+    pc = _pcd_from_points_npy(path, scene_json["center"], scene_json["scale"])
+    return SceneInfo(point_cloud=pc, train_cameras=train, test_cameras=test,
+                     nerf_normalization=get_nerfpp_norm(train))
+
+
+def read_iphone_scene(path: str, white_background: bool = False,
+                      eval_split: bool = True, **_) -> SceneInfo:
+    """iPhone (DyCheck-style) loader (dataset_readers.py:680-800): like
+    Nerfies with ratio 1 and no scene recentring."""
+    cams, train_num = _nerfies_style_cameras(path, white_background, 1.0,
+                                             None, None)
+    train = cams[:train_num] if eval_split else cams
+    test = cams[train_num:] if eval_split else []
+    pc = _pcd_from_points_npy(path)
+    return SceneInfo(point_cloud=pc, train_cameras=train, test_cameras=test,
+                     nerf_normalization=get_nerfpp_norm(train))
+
+
+_B2CV = np.array([[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0], [0, 0, 0, 1]],
+                 np.float64)
+
+
+def _read_neural_actor_split(path: str, transformsfile: str,
+                             white_background: bool, load_num: int = 1500):
+    """NeuralActor loader (dataset_readers.py:803-905): OpenCV c2w poses with
+    per-frame intrinsics and training_mask/Annotations DEVA masks."""
+    with open(os.path.join(path, transformsfile)) as f:
+        contents = json.load(f)
+    cams = []
+    for idx, frame in enumerate(contents["frames"][:load_num]):
+        c2w = np.asarray(frame["transform_matrix"], np.float64)
+        orig_cam = c2w @ np.linalg.inv(_B2CV)   # blender-convention c2w
+        w2c = np.linalg.inv(c2w)
+        R = np.transpose(w2c[:3, :3])
+        T = w2c[:3, 3]
+        img_path = os.path.join(path, frame["file_path"])
+        sub = "training" if "train" in transformsfile else "testing"
+        mask_path = img_path.replace(f"/{sub}/", f"/{sub}_mask/Annotations/")
+        image, alpha = _masked_image(img_path, mask_path, white_background)
+        H, W = image.shape[:2]
+        K = np.asarray(frame["intrinsic"], np.float32)
+        cams.append(Camera(
+            uid=idx, R=R, T=T, fovx=focal2fov(K[0, 0], W),
+            fovy=focal2fov(K[1, 1], H), image=image, alpha_mask=alpha,
+            fid=float(frame["time"]), width=W, height=H,
+            image_name=os.path.basename(img_path), K=K,
+            orig_transform=orig_cam.astype(np.float32)))
+    return cams
+
+
+def read_neural_actor_scene(path: str, white_background: bool = False,
+                            eval_split: bool = True, **_) -> SceneInfo:
+    train = _read_neural_actor_split(path, "transforms_train.json", white_background)
+    test = _read_neural_actor_split(path, "transforms_test.json", white_background)
+    if not eval_split:
+        train = train + test
+        test = []
+    ply_path = os.path.join(path, "points3d.ply")
+    if os.path.exists(ply_path):
+        pc = load_points_ply(ply_path)
+    else:
+        rng = np.random.default_rng(0)
+        pts = (rng.random((100_000, 3)) * 2 - 1).astype(np.float32)
+        pc = PointCloud(points=pts, colors=rng.random((100_000, 3)).astype(np.float32))
+    return SceneInfo(point_cloud=pc, train_cameras=train, test_cameras=test,
+                     nerf_normalization=get_nerfpp_norm(train))
+
+
 def _todo(name):
     def reader(*a, **k):
         raise NotImplementedError(
             f"{name} reader lands in a later round (reference: "
-            "scene/dataset_readers.py); Blender/D-NeRF and Colmap are available.")
+            "scene/dataset_readers.py).")
     return reader
 
 
@@ -212,9 +381,9 @@ SCENE_READERS: Dict[str, Callable] = {
     "Colmap": read_colmap_scene,
     "Blender": read_blender_scene,
     "DTU": _todo("DTU"),
-    "nerfies": _todo("Nerfies"),
-    "iPhone": _todo("iPhone"),
-    "NeuralActor": _todo("NeuralActor"),
+    "nerfies": read_nerfies_scene,
+    "iPhone": read_iphone_scene,
+    "NeuralActor": read_neural_actor_scene,
     "PlenopticVideo": _todo("PlenopticVideo"),
     "finetune-nerf": _todo("finetune-nerf"),
 }

@@ -47,6 +47,7 @@ class DeformNetwork(nn.Module):
     multires: int = 10
     is_blender: bool = False
     with_normal: bool = False
+    is_6dof: bool = False
 
     @nn.compact
     def __call__(self, xyz, t):
@@ -65,7 +66,21 @@ class DeformNetwork(nn.Module):
             h = nn.relu(h)
             if i == skip:
                 h = jnp.concatenate([inp, h], axis=-1)
-        d_xyz = nn.Dense(3)(h)
+        if self.is_6dof:
+            # screw-motion head (reference time_utils.py:100-124): the caller
+            # treats d_xyz as the SE(3)-transformed position delta is NOT
+            # additive in the reference — it returns the transformed point;
+            # we return the delta so downstream stays uniform.
+            from ..ops.rigid import se3_transform_points
+            w = nn.Dense(3)(h)
+            v = nn.Dense(3)(h)
+            theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+            w_unit = w / (theta + 1e-5)
+            v_unit = v / (theta + 1e-5)
+            screw = jnp.concatenate([w_unit, v_unit], -1)
+            d_xyz = se3_transform_points(xyz, screw, theta) - xyz
+        else:
+            d_xyz = nn.Dense(3)(h)
         d_rot = nn.Dense(4)(h)
         d_scale = nn.Dense(3)(h)
         if self.with_normal:

@@ -73,7 +73,7 @@ class Trainer:
         self.viewpoint_stack = []
         self.rng = random.Random(seed)
         self._step_cache: Dict = {}
-        self._jit_misc = {}
+        self._batch_cache: Dict = {}
         self.metrics_history = []
 
         ctx = self.ctx
@@ -139,10 +139,23 @@ class Trainer:
         idx = self.rng.randint(0, len(self.viewpoint_stack) - 1)
         return self.viewpoint_stack.pop(idx)
 
+    def get_batch(self, cam: Camera) -> Batch:
+        """Device-resident batch cache: images are uploaded once per camera
+        unless load2gpu_on_the_fly requests streaming (reference
+        ModelParams.load2gpu_on_the_fly)."""
+        if self.cfg.model.load2gpu_on_the_fly:
+            return make_batch(cam, self.scene.time_interval, self.bg)
+        b = self._batch_cache.get(cam.uid)
+        if b is None:
+            b = jax.tree.map(jnp.asarray,
+                             make_batch(cam, self.scene.time_interval, self.bg))
+            self._batch_cache[cam.uid] = b
+        return b
+
     def run_iteration(self, it: int):
         o = self.cfg.optimization
         cam = self.next_camera()
-        batch = make_batch(cam, self.scene.time_interval, self.bg)
+        batch = self.get_batch(cam)
         self.key, k1, k2, k3 = jax.random.split(self.key, 4)
         flags = self.flags_for(it)
 
