@@ -368,22 +368,143 @@ def read_neural_actor_scene(path: str, white_background: bool = False,
                      nerf_normalization=get_nerfpp_norm(train))
 
 
-def _todo(name):
-    def reader(*a, **k):
-        raise NotImplementedError(
-            f"{name} reader lands in a later round (reference: "
-            "scene/dataset_readers.py).")
-    return reader
+def _load_K_Rt_from_P(P: np.ndarray):
+    """Decompose a 3x4 projection into K (3,3) and pose c2w (4,4) via RQ
+    (reference uses cv2.decomposeProjectionMatrix; scipy RQ equivalent)."""
+    from scipy.linalg import rq
+    M = P[:3, :3]
+    K, R = rq(M)
+    # enforce positive diagonal on K
+    S = np.diag(np.sign(np.diag(K)))
+    K = K @ S
+    R = S @ R
+    t = np.linalg.inv(K) @ P[:3, 3]
+    K = K / K[2, 2]
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = R.T
+    pose[:3, 3] = (-R.T @ t)
+    return K.astype(np.float32), pose
+
+
+def read_dtu_scene(path: str, render_camera: str = "cameras_sphere.npz",
+                   white_background: bool = False, **_) -> SceneInfo:
+    """NeuS-style DTU loader (dataset_readers.py:456-542): P = world@scale
+    decomposed to K,pose + the reference's axis shuffle; masked images."""
+    import glob as _glob
+    from PIL import Image
+    camera_dict = np.load(os.path.join(path, render_camera))
+    images_lis = sorted(_glob.glob(os.path.join(path, "image/*.png")))
+    masks_lis = sorted(_glob.glob(os.path.join(path, "mask/*.png")))
+    n = len(images_lis)
+    cams = []
+    for idx in range(n):
+        image = np.asarray(Image.open(images_lis[idx])).astype(np.float32) / 255.0
+        mask = np.asarray(Image.open(masks_lis[idx])).astype(np.float32) / 255.0
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        img = image[..., :3] * mask[..., None]
+        world_mat = camera_dict[f"world_mat_{idx}"].astype(np.float32)
+        scale_mat = camera_dict[f"scale_mat_{idx}"].astype(np.float32)
+        fid = float(camera_dict[f"fid_{idx}"]) / max(n / 12 - 1, 1)
+        P = (world_mat @ scale_mat)[:3, :4]
+        K, pose = _load_K_Rt_from_P(P)
+        # reference's empirical axis shuffle (dataset_readers.py:478-497)
+        a, b, c = pose[0:1], pose[1:2], pose[2:3]
+        pose = np.concatenate([a, -c, -b, pose[3:]], 0)
+        S = np.diag([1.0, -1.0, -1.0])
+        pose[1, 3] = -pose[1, 3]
+        pose[2, 3] = -pose[2, 3]
+        pose[:3, :3] = S @ pose[:3, :3] @ S
+        a, b, c = pose[0:1], pose[1:2], pose[2:3]
+        pose = np.concatenate([a, c, b, pose[3:]], 0)
+        pose[:, 3] *= 0.5
+        matrix = np.linalg.inv(pose)
+        R = -np.transpose(matrix[:3, :3])
+        R[:, 0] = -R[:, 0]
+        T = -matrix[:3, 3]
+        H, W = img.shape[:2]
+        cams.append(Camera(uid=idx, R=R, T=T,
+                           fovx=focal2fov(K[0, 0], W), fovy=focal2fov(K[0, 0], H),
+                           image=img.astype(np.float32),
+                           alpha_mask=mask[..., None].astype(np.float32),
+                           fid=fid, width=W, height=H,
+                           image_name=os.path.basename(images_lis[idx])))
+    rng = np.random.default_rng(0)
+    pts = (rng.random((100_000, 3)) * 2.6 - 1.3).astype(np.float32)
+    pc = PointCloud(points=pts, colors=rng.random((100_000, 3)).astype(np.float32))
+    return SceneInfo(point_cloud=pc, train_cameras=cams, test_cameras=[],
+                     nerf_normalization=get_nerfpp_norm(cams))
+
+
+def read_plenoptic_scene(path: str, eval_split: bool = True,
+                         num_images: int = 300, hold_id=(0,), **_) -> SceneInfo:
+    """Neural-3D-Video (LLFF poses_bounds.npy + frames/<cam>/NNN.png) loader
+    (dataset_readers.py:908-992)."""
+    import glob as _glob
+    from PIL import Image
+    video_paths = sorted(_glob.glob(os.path.join(path, "frames/*")))
+    poses_bounds = np.load(os.path.join(path, "poses_bounds.npy"))
+    poses = poses_bounds[:, :15].reshape(-1, 3, 5)
+    H, W, focal = poses[0, :, -1]
+    n_cameras = poses.shape[0]
+    poses = np.concatenate([poses[..., 1:2], -poses[..., :1], poses[..., 2:4]], -1)
+    bottoms = np.tile(np.array([0, 0, 0, 1.0]).reshape(1, 1, 4), (n_cameras, 1, 1))
+    poses = np.concatenate([poses, bottoms], axis=1)
+    poses = poses @ np.diag([1.0, -1, -1, 1])
+
+    def split_cams(split):
+        i_test = set(hold_id)
+        sel = sorted(i_test) if split != "train" else sorted(
+            set(range(n_cameras)) - i_test)
+        out = []
+        for i in sel:
+            c2w = poses[i]
+            matrix = np.linalg.inv(c2w)
+            R = np.transpose(matrix[:3, :3])
+            T = matrix[:3, 3]
+            names = sorted(os.listdir(video_paths[i]))[:num_images]
+            for idx, name in enumerate(names):
+                img = np.asarray(Image.open(os.path.join(video_paths[i], name))
+                                 ).astype(np.float32) / 255.0
+                h, w = img.shape[:2]
+                out.append(Camera(
+                    uid=idx, R=R, T=T, fovx=focal2fov(focal, w),
+                    fovy=focal2fov(focal, h), image=img[..., :3],
+                    alpha_mask=None, fid=idx / max(len(names) - 1, 1),
+                    width=w, height=h, image_name=name))
+        return out
+
+    train = split_cams("train")
+    test = split_cams("test") if eval_split else []
+    ply_path = os.path.join(path, "points3D_downsample.ply")
+    if os.path.exists(ply_path):
+        pc = load_points_ply(ply_path)
+    else:
+        rng = np.random.default_rng(0)
+        pts = (rng.random((100_000, 3)) * 2.6 - 1.3).astype(np.float32)
+        pc = PointCloud(points=pts, colors=rng.random((100_000, 3)).astype(np.float32))
+    return SceneInfo(point_cloud=pc, train_cameras=train, test_cameras=test,
+                     nerf_normalization=get_nerfpp_norm(train))
+
+
+def read_finetune_nerf_scene(path: str, white_background: bool = False,
+                             **kw) -> SceneInfo:
+    """finetune-nerf format (dataset_readers.py:355-453): Blender-style
+    transforms with pre-trained NeRF geometry; loads like Blender with the
+    alpha-masked images."""
+    return read_blender_scene(path, white_background=white_background,
+                              **{k: v for k, v in kw.items()
+                                 if k in ("eval_split", "max_frames")})
 
 
 # registry mirrors sceneLoadTypeCallbacks (dataset_readers.py:995-1004)
 SCENE_READERS: Dict[str, Callable] = {
     "Colmap": read_colmap_scene,
     "Blender": read_blender_scene,
-    "DTU": _todo("DTU"),
+    "DTU": read_dtu_scene,
     "nerfies": read_nerfies_scene,
     "iPhone": read_iphone_scene,
     "NeuralActor": read_neural_actor_scene,
-    "PlenopticVideo": _todo("PlenopticVideo"),
-    "finetune-nerf": _todo("finetune-nerf"),
+    "PlenopticVideo": read_plenoptic_scene,
+    "finetune-nerf": read_finetune_nerf_scene,
 }

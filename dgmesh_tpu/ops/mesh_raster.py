@@ -246,6 +246,9 @@ def render_mesh(verts, faces, face_valid, vtx_color, pose, proj, bg_color,
     tidx = bins.tile_idx
     tidx_pad = jnp.concatenate([tidx, tidx[:padn]], 0) if padn else tidx
 
+    # remat (see splat.composite): avoid storing per-chunk shading tensors
+    # for backward — recompute instead.
+    @jax.checkpoint
     def body(args):
         tids, tix = args
         return _shade_chunk(tids, tix, rast, vtx_color, faces, bg, cfg, want_soft)

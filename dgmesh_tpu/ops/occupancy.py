@@ -21,16 +21,27 @@ from .quaternion import quat_to_rotmat
 
 def gaussian_occupancy_grid(xyz, scaling, rotation, opacity, alive,
                             center, half_extent, res: int,
-                            chunk: int = 32_768, cutoff: float = 3.0):
+                            chunk: int = 8_192, g_chunk: int = 8_192,
+                            cutoff: float = 3.0):
     """Evaluate the opacity field on a res³ grid spanning center ± half_extent.
 
     Returns (res,res,res) float32.  ``cutoff`` (in σ) truncates like the
-    reference's minimum-scale culling (mesh_utils.py:48-54).
+    reference's minimum-scale culling (mesh_utils.py:48-54).  Double-chunked
+    (grid points × gaussians) so peak memory is O(chunk·g_chunk).
     """
+    N = xyz.shape[0]
     R = quat_to_rotmat(rotation)                       # (N,3,3)
     inv_s = 1.0 / jnp.maximum(scaling, 1e-8)           # (N,3)
     # Σ = R S² Rᵀ ⇒ Σ⁻¹ = R S⁻² Rᵀ; with d'=Rᵀd the form is q = ‖d'/s‖²
     op = jnp.where(alive, opacity.reshape(-1), 0.0)
+
+    gc = min(g_chunk, N)
+    ng = -(-N // gc)
+    padn = ng * gc - N
+    Rt = jnp.pad(jnp.swapaxes(R, -1, -2), ((0, padn), (0, 0), (0, 0)))
+    inv_s_p = jnp.pad(inv_s, ((0, padn), (0, 0)))
+    xyz_p = jnp.pad(xyz, ((0, padn), (0, 0)))
+    op_p = jnp.pad(op, (0, padn))
 
     g = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res * 2.0 - 1.0
     pts = jnp.stack(jnp.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
@@ -41,12 +52,20 @@ def gaussian_occupancy_grid(xyz, scaling, rotation, opacity, alive,
     pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
 
     def body(_, p):                                    # p: (chunk,3)
-        d = p[:, None, :] - xyz[None, :, :]            # (chunk,N,3)
-        local = jnp.einsum("nij,cnj->cni", jnp.swapaxes(R, -1, -2), d)
-        q = jnp.sum((local * inv_s[None]) ** 2, axis=-1)
-        val = op[None, :] * jnp.exp(-0.5 * q)
-        val = jnp.where(q < cutoff * cutoff * 3.0, val, 0.0)
-        return _, val.sum(axis=1)
+        def g_step(acc, gi):
+            xs = jax.lax.dynamic_slice_in_dim(xyz_p, gi * gc, gc)
+            rs = jax.lax.dynamic_slice_in_dim(Rt, gi * gc, gc)
+            ss = jax.lax.dynamic_slice_in_dim(inv_s_p, gi * gc, gc)
+            os_ = jax.lax.dynamic_slice_in_dim(op_p, gi * gc, gc)
+            d = p[:, None, :] - xs[None, :, :]         # (chunk,gc,3)
+            local = jnp.einsum("nij,cnj->cni", rs, d)
+            q = jnp.sum((local * ss[None]) ** 2, axis=-1)
+            val = os_[None, :] * jnp.exp(-0.5 * q)
+            val = jnp.where(q < cutoff * cutoff * 3.0, val, 0.0)
+            return acc + val.sum(axis=1), None
+
+        acc, _ = jax.lax.scan(g_step, jnp.zeros(p.shape[0]), jnp.arange(ng))
+        return _, acc
 
     _, vals = jax.lax.scan(body, None, pts_p.reshape(n_chunks, chunk, 3))
     return vals.reshape(-1)[:pts.shape[0]].reshape(res, res, res)

@@ -287,6 +287,10 @@ def composite(tile_idx, pre, bg, cfg: SplatConfig):
     all_tiles = jnp.arange(T + pad, dtype=jnp.int32) % T   # wrap padding tiles
     tile_idx_pad = jnp.concatenate([tile_idx, tile_idx[:pad]], axis=0) if pad else tile_idx
 
+    # remat: without it, lax.map stores every chunk's (C,K,P) compositing
+    # intermediates for the backward pass — O(T·K·P) memory, OOM at 800px.
+    # Recomputing the chunk forward during backward is cheap (VPU-bound).
+    @jax.checkpoint
     def body(args):
         tids, tidx = args
         return _composite_chunk(tids, tidx, pre, bg, cfg)

@@ -96,9 +96,12 @@ def _deform_all(ctx: StepContext, nets, xyz, fid, noise, flags: StepFlags):
     if flags.warm:
         z3 = jnp.zeros((M, 3))
         return z3, jnp.zeros((M, 4)), z3, z3
-    d_xyz, d_rot, d_scale, _ = ctx.nets_def.deform.apply(nets.deform, xyz_sg, t_in)
+    # remat: 8×256 MLP activations over M points are GBs at full scale
+    d_xyz, d_rot, d_scale, _ = jax.checkpoint(ctx.nets_def.deform.apply)(
+        nets.deform, xyz_sg, t_in)
     if flags.use_normal:
-        d_normal = ctx.nets_def.deform_normal.apply(nets.deform_normal, xyz_sg, t_in)
+        d_normal = jax.checkpoint(ctx.nets_def.deform_normal.apply)(
+            nets.deform_normal, xyz_sg, t_in)
     else:
         d_normal = jnp.zeros((M, 3))
     return d_xyz, d_rot, d_scale, d_normal
@@ -127,10 +130,11 @@ def _mesh_colors(ctx: StepContext, nets, verts_w, vert_valid, fid):
     """deform_back to canonical + appearance colors (renderer.py:177-181)."""
     V = verts_w.shape[0]
     t_in = jnp.full((V, 1), fid)
-    d_back, _, _, _ = ctx.nets_def.deform_back.apply(
+    d_back, _, _, _ = jax.checkpoint(ctx.nets_def.deform_back.apply)(
         nets.deform_back, jax.lax.stop_gradient(verts_w), t_in)
     canon = verts_w + d_back
-    color = ctx.nets_def.appearance.apply(nets.appearance, canon, t_in)
+    color = jax.checkpoint(ctx.nets_def.appearance.apply)(
+        nets.appearance, canon, t_in)
     return jnp.where(vert_valid[:, None], color, 0.0)
 
 
@@ -171,7 +175,8 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
     # --- cycle consistency (train.py:198-240) ---
     if not flags.warm:
         M_t = jnp.full((M, 1), batch.fid) + noise2
-        d_back, d_rot_back, d_scale_back, _ = ctx.nets_def.deform_back.apply(
+        d_back, d_rot_back, d_scale_back, _ = jax.checkpoint(
+            ctx.nets_def.deform_back.apply)(
             nets.deform_back, jax.lax.stop_gradient(means3d), M_t)
 
         def masked_l1(a, b):
