@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--quit_after", type=int, default=None,
                         help="stop after N iterations (debug)")
+    parser.add_argument("--export_meshes", type=int, default=0,
+                        help="export N-frame dynamic mesh sequence at the end "
+                             "(reference exports 200)")
     add_config_args(parser)
     args = parser.parse_args(argv)
     cfg = config_from_args(args, args.config)
@@ -79,6 +82,13 @@ def main(argv=None):
             for k, v in results.items():
                 f.write(f"{k}: {v}\n")
         print("Test results:", results, flush=True)
+
+    # dynamic mesh sequence export (reference train.py:389-423)
+    if args.export_meshes > 0:
+        from ..eval.testing import export_dynamic_meshes
+        export_dynamic_meshes(cfg, trainer, scene,
+                              os.path.join(cfg.model.model_path, "meshes"),
+                              n_frames=args.export_meshes)
 
 
 if __name__ == "__main__":

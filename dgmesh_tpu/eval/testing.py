@@ -53,6 +53,40 @@ def render_frame(ctx: StepContext, state, batch, sh_degree: int,
     return res
 
 
+def export_dynamic_meshes(cfg: Config, trainer, scene, out_dir: str,
+                          n_frames: int = 200):
+    """Export the reconstructed mesh at n_frames uniform time steps.
+
+    reference: train.py:389-423 — the end-of-training 200-frame dynamic mesh
+    dump used for the CD/EMD evaluation against GT mesh sequences.
+    """
+    import functools
+    ctx = trainer.ctx
+    state = trainer.state
+    os.makedirs(out_dir, exist_ok=True)
+
+    @jax.jit
+    def mesh_at(fid):
+        gp, gs, nets = state.gp, state.gs, state.nets
+        M = gp.xyz.shape[0]
+        t_in = jnp.full((M, 1), fid)
+        d_xyz, _, _, _ = ctx.nets_def.deform.apply(nets.deform, gp.xyz, t_in)
+        d_normal = ctx.nets_def.deform_normal.apply(nets.deform_normal,
+                                                    gp.xyz, t_in)
+        m = extract_mesh(ctx, gp, gs, d_xyz, d_normal, freeze_pos=False)
+        color = _mesh_colors(ctx, nets, m.verts, m.vert_valid, fid)
+        return m.verts, m.faces, m.n_verts, m.n_faces, color
+
+    for i in range(n_frames):
+        fid = i / max(n_frames - 1, 1)
+        verts, faces, nv, nf, color = mesh_at(jnp.asarray(fid, jnp.float32))
+        nv, nf = int(nv), int(nf)
+        write_mesh_ply(os.path.join(out_dir, f"mesh_{i:05d}.ply"),
+                       np.asarray(verts)[:nv], np.asarray(faces)[:nf],
+                       np.asarray(color)[:nv])
+    print(f"exported {n_frames} meshes to {out_dir}", flush=True)
+
+
 def run_testing(cfg: Config, trainer, scene, save_dir: str = None,
                 with_mesh: bool = True) -> Dict[str, float]:
     ctx = trainer.ctx

@@ -32,22 +32,67 @@ def bin_rects(tx0, ty0, nx, ny, depth_key, valid, *, tiles_x: int,
     count = jnp.where(valid, nx * ny, 0)
     offsets = jnp.cumsum(count)
     total = offsets[-1]
-    start = offsets - count
+    start = (offsets - count).astype(jnp.int32)
+
+    # Slot → owning item via scatter + forward-fill max-scan (gather-free):
+    # every item with count>0 stamps (its start, its packed rect, its depth)
+    # at dup-slot `start`; a cummax forward-fill then propagates the stamp to
+    # the item's whole slot range.  This replaces a per-slot binary search
+    # (max_dup·log N random gathers — the old hot spot) with two linear scans.
+    writes = valid & (count > 0)
+    dst = jnp.where(writes, start, max_dup)
+    # pack (tx0, ty0, nx) into one int32: 9+9+10 bits handles ≤512×512 tiles
+    assert tiles_x <= 512 and tiles_y <= 512
+    rect_packed = tx0 | (ty0 << 9) | (jnp.maximum(nx, 1) << 18)
+    dq_in = jnp.clip(depth_key >> 16, 0, (1 << 14) - 1)   # 14-bit depth
+    # stamp = start(20 bits max_dup≤1M? allow 31) — keep three stamp arrays
+    sent = jnp.int32(-1)
+    stamp_start = jnp.full(max_dup, sent).at[dst].max(start, mode="drop")
+    stamp_rect = jnp.full(max_dup, sent).at[dst].max(rect_packed, mode="drop")
+    stamp_dq = jnp.full(max_dup, sent).at[dst].max(dq_in, mode="drop")
+    # forward-fill: starts are strictly increasing over writers, so segment
+    # boundaries are exactly the stamped slots; carry (start, rect, dq)
+    # together keyed on start so all three fill consistently.
+    def comb(a, b):
+        sa, ra, da = a
+        sb, rb, db = b
+        take_b = sb >= 0
+        return (jnp.where(take_b, sb, sa), jnp.where(take_b, rb, ra),
+                jnp.where(take_b, db, da))
+    f_start, f_rect, f_dq = jax.lax.associative_scan(
+        comb, (stamp_start, stamp_rect, stamp_dq))
 
     slots = jnp.arange(max_dup, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
-    g = jnp.minimum(g, count.shape[0] - 1)
-    k = slots - start[g]
-    nx_g = jnp.maximum(nx[g], 1)
-    tile = (ty0[g] + k // nx_g) * tiles_x + (tx0[g] + k % nx_g)
-    slot_valid = slots < total
+    k = slots - f_start
+    tx0_s = f_rect & 0x1FF
+    ty0_s = (f_rect >> 9) & 0x1FF
+    nx_s = jnp.maximum((f_rect >> 18) & 0x3FF, 1)
+    tile = (ty0_s + k // nx_s) * tiles_x + (tx0_s + k % nx_s)
+    slot_valid = (slots < total) & (f_start >= 0)
     tile = jnp.where(slot_valid, tile, num_tiles).astype(jnp.int32)
+    # recover owning item id for the value payload of the sort: items stamp
+    # their id too (same fill)
+    stamp_g = jnp.full(max_dup, sent).at[dst].max(
+        jnp.arange(count.shape[0], dtype=jnp.int32), mode="drop")
+    g = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0, b, a), stamp_g)
+    g = jnp.maximum(g, 0)
 
-    tile_s, _, g_s = jax.lax.sort((tile, depth_key[g], g), num_keys=2)
+    # pack (tile, depth) into ONE int32 key: a single-key sort_key_val is
+    # several times cheaper on TPU than a 3-operand two-key comparator sort
+    # (cub's 64-bit tile|depth key, rasterizer_impl.cu:70-111, same idea)
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = min(31 - tile_bits, 14)   # f_dq carries 14 depth bits
+    assert depth_bits >= 8, f"too many tiles ({num_tiles}) for packed keys"
+    dq = jnp.clip(f_dq >> (14 - depth_bits), 0, (1 << depth_bits) - 1)
+    key = (tile << depth_bits) | dq
+    _key_s, g_s = jax.lax.sort_key_val(key, g)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_start = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
-    t_end = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
+    t_start = jnp.searchsorted(_key_s, tids << depth_bits,
+                               side="left").astype(jnp.int32)
+    t_end = jnp.searchsorted(_key_s, (tids + 1) << depth_bits,
+                             side="left").astype(jnp.int32)
 
     karange = jnp.arange(max_per_tile, dtype=jnp.int32)
     pos = t_start[:, None] + karange[None, :]

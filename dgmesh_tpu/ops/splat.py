@@ -180,56 +180,24 @@ def bin_gaussians(pre: dict, cfg: SplatConfig):
     """Build per-tile depth-sorted Gaussian index lists, entirely with gathers.
 
     Replaces duplicateWithKeys + RadixSort + identifyTileRanges
-    (rasterizer_impl.cu:70-138,277-318).  Returns (tile_idx (T,K) int32 with -1
-    padding, aux dict).
+    (rasterizer_impl.cu:70-138,277-318) via the shared binning machinery
+    (ops/binning.py).  Returns (tile_idx (T,K) int32 with -1 padding, aux).
     """
+    from .binning import bin_rects, quantize_depth
+
     mean2d = jax.lax.stop_gradient(pre["mean2d"])
     depth = jax.lax.stop_gradient(pre["depth"])
     radius = jax.lax.stop_gradient(pre["radius"])
     valid = pre["valid"]
 
     tx0, ty0, nx, ny, count = _tile_rects(mean2d, radius, valid, cfg)
-    offsets = jnp.cumsum(count)                      # inclusive
-    total = offsets[-1]
-    start = offsets - count                          # exclusive cumsum
-
-    # Slot j ∈ [0, MAX_DUP): find owning Gaussian via binary search.
-    slots = jnp.arange(cfg.max_dup, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
-    g = jnp.minimum(g, count.shape[0] - 1)
-    k = slots - start[g]
-    nx_g = jnp.maximum(nx[g], 1)
-    ty = ty0[g] + k // nx_g
-    tx = tx0[g] + k % nx_g
-    tile = ty * cfg.tiles_x + tx
-    slot_valid = slots < total
-    tile = jnp.where(slot_valid, tile, cfg.num_tiles).astype(jnp.int32)
-
-    # Quantize depth to int32 for a cheap radix-style two-key sort.
-    d = depth[g]
-    dmin = jnp.min(jnp.where(valid, depth, jnp.inf))
-    dmax = jnp.max(jnp.where(valid, depth, -jnp.inf))
-    drange = jnp.maximum(dmax - dmin, 1e-6)
-    dq = ((d - dmin) / drange * jnp.float32((1 << 30))).astype(jnp.int32)
-
-    tile_s, _, g_s = jax.lax.sort((tile, dq, g), num_keys=2)
-
-    # Tile ranges (identifyTileRanges): searchsorted over the sorted tile ids.
-    tids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
-    t_start = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
-    t_end = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
-
-    # Fixed-K per-tile lists: nearest K by depth (front-most kept on overflow).
-    karange = jnp.arange(cfg.max_per_tile, dtype=jnp.int32)
-    pos = t_start[:, None] + karange[None, :]                     # (T,K)
-    in_range = pos < t_end[:, None]
-    pos = jnp.minimum(pos, cfg.max_dup - 1)
-    tile_idx = jnp.where(in_range, g_s[pos], -1)
-
-    overflow = jnp.maximum(t_end - t_start - cfg.max_per_tile, 0)
-    aux = dict(num_duplicates=total, dup_overflow=jnp.maximum(total - cfg.max_dup, 0),
-               tile_overflow=jnp.sum(overflow))
-    return tile_idx, aux
+    bins = bin_rects(tx0, ty0, nx, ny, quantize_depth(depth, valid), valid,
+                     tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
+                     max_dup=cfg.max_dup, max_per_tile=cfg.max_per_tile)
+    aux = dict(num_duplicates=bins.num_duplicates,
+               dup_overflow=bins.dup_overflow,
+               tile_overflow=bins.tile_overflow)
+    return bins.tile_idx, aux
 
 
 def _composite_chunk(tile_ids, tile_idx_chunk, pre, bg, cfg: SplatConfig):

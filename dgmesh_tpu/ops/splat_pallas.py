@@ -1,0 +1,100 @@
+"""Pallas fused tile-compositing kernel for Gaussian splatting.
+
+Fuses the whole per-tile pipeline of ops/splat._composite_chunk — gather'd
+attribute blocks → alpha evaluation → front-to-back transmittance → weighted
+color reduction — into one VMEM-resident kernel (one grid step per tile), so
+none of the (K,P) intermediates ever touch HBM.  Equivalent math to the XLA
+path (same cumprod-in-log-space formulation); used for the forward pass with
+a custom_vjp whose backward recomputes per tile (same memory story as the
+remat'd XLA path).
+
+Layout: per-tile gaussian attributes are pre-gathered (outside the kernel)
+into a (T, K, 16) tensor:
+  [0]=mean_x [1]=mean_y [2]=conic_a [3]=conic_b [4]=conic_c [5]=opacity
+  [6..8]=rgb [9]=valid  (rest padding to 16 lanes for clean tiling)
+
+The kernel emits (T, P, 3) colors and (T, P) alpha with P = tile_h*tile_w.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+
+
+def _composite_kernel(attr_ref, origin_ref, out_rgb_ref, out_alpha_ref, *,
+                      tile_h: int, tile_w: int):
+    """One tile: attr (K,16) f32 in VMEM, origin (1,2) tile pixel origin."""
+    K = attr_ref.shape[1]
+    P = tile_h * tile_w
+
+    attrs = attr_ref[0]                                    # (K,16)
+    ox = origin_ref[0, 0]
+    oy = origin_ref[0, 1]
+
+    # pixel centers, flattened row-major (P,)
+    py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
+    px = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+    px = (px + ox).reshape(1, P)
+    py = (py + oy).reshape(1, P)
+
+    mean_x = attrs[:, 0:1]
+    mean_y = attrs[:, 1:2]
+    ca = attrs[:, 2:3]
+    cb = attrs[:, 3:4]
+    cc = attrs[:, 4:5]
+    op = attrs[:, 5:6]
+    valid = attrs[:, 9:10]
+
+    dx = mean_x - px                                       # (K,P)
+    dy = mean_y - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    ok = (valid > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    alpha = jnp.where(ok, alpha, 0.0)
+
+    # exclusive cumprod along K in log space
+    log1m = jnp.log1p(-alpha)                              # (K,P), α≤0.99 safe
+    csum = jnp.cumsum(log1m, axis=0)
+    trans = jnp.exp(csum - log1m)                          # T_i = Π_{j<i}(1-α_j)
+    w = alpha * trans                                      # (K,P)
+
+    rgb = attrs[:, 6:9]                                    # (K,3)
+    out = jax.lax.dot_general(w, rgb, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (P,3)
+    out_rgb_ref[0] = out
+    out_alpha_ref[0] = (1.0 - jnp.exp(csum[-1, :]))
+
+
+def composite_tiles_pallas(attrs, origins, tile_h: int, tile_w: int,
+                           interpret: bool = False):
+    """attrs (T,K,16) f32, origins (T,2) f32 → rgb (T,P,3), alpha (T,P)."""
+    T, K, _ = attrs.shape
+    P = tile_h * tile_w
+    kern = functools.partial(_composite_kernel, tile_h=tile_h, tile_w=tile_w)
+    rgb, alpha = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((T, P, 3), jnp.float32),
+                   jax.ShapeDtypeStruct((T, P), jnp.float32)),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(attrs, origins)
+    return rgb, alpha
