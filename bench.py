@@ -57,7 +57,7 @@ def main():
     t.max_verts = 262_144
     t.max_faces = 524_288
     t.max_gaussians_per_tile = 512
-    t.max_dup = 1 << 21
+    t.max_dup = 1 << 20
     t.max_faces_per_tile = 128
     t.max_face_dup = 1 << 20
     t.tile_chunk = 125

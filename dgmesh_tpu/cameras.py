@@ -219,6 +219,58 @@ def orbit_camera_poses(n: int, radius: float = 3.0, elevation: float = 0.0,
     return np.stack(poses)
 
 
+class OrbitCamera:
+    """Interactive orbit camera (reference: utils/gui_utils.py OrbitCamera).
+
+    Maintains azimuth/elevation/radius + pan center; produces a blender c2w.
+    """
+
+    def __init__(self, width: int, height: int, radius: float = 3.0,
+                 fovy: float = 0.9):
+        self.width = width
+        self.height = height
+        self.radius = radius
+        self.fovy = fovy
+        self.azimuth = 0.0
+        self.elevation = 0.0
+        self.center = np.zeros(3, dtype=np.float32)
+
+    def orbit(self, dx: float, dy: float, speed: float = 0.005):
+        self.azimuth -= dx * speed
+        self.elevation = float(np.clip(self.elevation + dy * speed,
+                                       -1.5, 1.5))
+
+    def pan(self, dx: float, dy: float, speed: float = 0.001):
+        c2w = self.pose
+        right, up = c2w[:3, 0], c2w[:3, 1]
+        self.center = self.center - speed * self.radius * (dx * right - dy * up)
+
+    def scale(self, delta: float, speed: float = 0.1):
+        self.radius = float(max(self.radius * (1 - speed * delta), 1e-3))
+
+    @property
+    def pose(self) -> np.ndarray:
+        eye = self.center + self.radius * np.array([
+            np.cos(self.elevation) * np.cos(self.azimuth),
+            np.cos(self.elevation) * np.sin(self.azimuth),
+            np.sin(self.elevation)])
+        forward = self.center - eye
+        forward = forward / (np.linalg.norm(forward) + 1e-12)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(forward, up)
+        right = right / (np.linalg.norm(right) + 1e-12)
+        true_up = np.cross(right, forward)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2] = right, true_up, -forward
+        c2w[:3, 3] = eye
+        return c2w
+
+    def to_camera(self, fid: float = 0.0) -> "Camera":
+        fovx = focal2fov(fov2focal(self.fovy, self.height), self.width)
+        return camera_from_c2w_blender(0, self.pose, fovx, self.width,
+                                       self.height, fid)
+
+
 def camera_from_c2w_blender(uid: int, c2w_blender: np.ndarray, fovx: float,
                             width: int, height: int, fid: float,
                             image: Optional[np.ndarray] = None,

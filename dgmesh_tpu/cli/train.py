@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--quit_after", type=int, default=None,
                         help="stop after N iterations (debug)")
+    parser.add_argument("--log_images", action="store_true",
+                        help="periodic image/mesh dumps to logs/ + logs_geo/ "
+                             "(reference train.py:323-386)")
     parser.add_argument("--export_meshes", type=int, default=0,
                         help="export N-frame dynamic mesh sequence at the end "
                              "(reference exports 200)")
@@ -68,7 +71,9 @@ def main(argv=None):
 
     trainer.train(iterations=iterations,
                   log_every=min(cfg.optimization.log_every, 100),
-                  first_iter=first_iter, on_log=on_log)
+                  first_iter=first_iter, on_log=on_log,
+                  image_log_every=cfg.optimization.log_every if args.log_images else 0,
+                  image_log_dir=cfg.model.model_path)
     save_checkpoint(trainer.state, cfg.model.model_path, iterations)
     print("Training complete.", flush=True)
 

@@ -15,8 +15,62 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..cameras import Camera, focal2fov, fov2focal
 from ..config import Config
 from .readers import SCENE_READERS, SceneInfo
+
+
+def apply_resolution_policy(cams: List, resolution: int) -> List:
+    """Resize loaded images per the reference's loadCam policy
+    (utils/camera_utils.py:23-63): resolution in {1,2,4,8} divides; -1 keeps
+    native unless width > 1600, which auto-downscales to 1600 (with the
+    one-time warning); other values are treated as a target global scale.
+    """
+    import numpy as np
+    from PIL import Image
+
+    out = []
+    warned = False
+    for cam in cams:
+        w = cam.width
+        if resolution in (1, -1, None) and (resolution != -1 or w <= 1600):
+            out.append(cam)
+            continue
+        if resolution == -1:
+            if not warned:
+                print("[INFO] big images detected: auto-downscaling to 1.6K. "
+                      "Use --resolution 1 to keep native size.")
+                warned = True
+            scale = w / 1600.0
+        elif resolution > 0:
+            scale = float(resolution)
+        else:
+            out.append(cam)
+            continue
+        nw, nh = round(w / scale), round(cam.height / scale)
+
+        def rz(img, size):
+            if img is None:
+                return None
+            arr = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)
+                                  .squeeze())
+            arr = arr.resize(size, Image.LANCZOS)
+            res = np.asarray(arr).astype(np.float32) / 255.0
+            if res.ndim == 2:
+                res = res[..., None]
+            return res
+
+        K = None
+        if cam.K is not None:
+            K = cam.K.copy()
+            K[:2] *= (nw / w)
+        out.append(Camera(
+            uid=cam.uid, R=cam.R, T=cam.T, fovx=cam.fovx, fovy=cam.fovy,
+            image=rz(cam.image, (nw, nh)),
+            alpha_mask=rz(cam.alpha_mask, (nw, nh)),
+            fid=cam.fid, width=nw, height=nh, image_name=cam.image_name,
+            K=K, orig_transform=cam.orig_transform))
+    return out
 
 
 def detect_scene_type(path: str, data_type: str = "") -> str:
@@ -53,6 +107,11 @@ class Scene:
                           white_background=cfg.model.white_background,
                           eval_split=cfg.model.eval)
         self.info: SceneInfo = reader(path, **kwargs)
+        if cfg.model.resolution not in (1, None):
+            self.info.train_cameras[:] = apply_resolution_policy(
+                self.info.train_cameras, cfg.model.resolution)
+            self.info.test_cameras[:] = apply_resolution_policy(
+                self.info.test_cameras, cfg.model.resolution)
         if shuffle:
             rng = random.Random(seed)
             rng.shuffle(self.info.train_cameras)   # reference scene/__init__.py:102-104

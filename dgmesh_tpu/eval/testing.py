@@ -53,6 +53,44 @@ def render_frame(ctx: StepContext, state, batch, sh_degree: int,
     return res
 
 
+def pointcloud_scatter_render(points: np.ndarray, cam, out_path: str = None,
+                              colors=None, s: float = 0.5):
+    """Matplotlib scatter render of a Gaussian point cloud from a camera pose
+    (reference: utils/renderer.py pointcloud_renderer :322-374, used in
+    render_trajectory for the Gaussian panel)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    w2v = cam.world_view
+    pts_h = np.concatenate([points, np.ones((len(points), 1))], 1)
+    pv = pts_h @ w2v.T
+    proj = cam.full_proj
+    ph = pts_h @ proj.T
+    ok = ph[:, 3] > 1e-6
+    ndc = ph[ok, :2] / ph[ok, 3:4]
+    fig = plt.figure(figsize=(cam.width / 100, cam.height / 100), dpi=100)
+    ax = fig.add_axes([0, 0, 1, 1])
+    c = None if colors is None else np.clip(colors[ok], 0, 1)
+    order = np.argsort(-pv[ok, 2])  # far first
+    ax.scatter(ndc[order, 0], -ndc[order, 1], s=s,
+               c=None if c is None else c[order])
+    ax.set_xlim(-1, 1)
+    ax.set_ylim(-1, 1)
+    ax.axis("off")
+    import io as _io
+    buf = _io.BytesIO()
+    fig.savefig(buf, format="png")
+    plt.close(fig)
+    buf.seek(0)
+    from PIL import Image
+    img = np.asarray(Image.open(buf)).astype(np.float32)[..., :3] / 255.0
+    if out_path:
+        from ..utils_io import save_image
+        save_image(out_path, img)
+    return img
+
+
 def export_dynamic_meshes(cfg: Config, trainer, scene, out_dir: str,
                           n_frames: int = 200):
     """Export the reconstructed mesh at n_frames uniform time steps.

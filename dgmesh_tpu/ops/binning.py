@@ -34,33 +34,26 @@ def bin_rects(tx0, ty0, nx, ny, depth_key, valid, *, tiles_x: int,
     total = offsets[-1]
     start = (offsets - count).astype(jnp.int32)
 
-    # Slot → owning item via scatter + forward-fill max-scan (gather-free):
-    # every item with count>0 stamps (its start, its packed rect, its depth)
-    # at dup-slot `start`; a cummax forward-fill then propagates the stamp to
-    # the item's whole slot range.  This replaces a per-slot binary search
-    # (max_dup·log N random gathers — the old hot spot) with two linear scans.
+    # Slot → owning item: every item with count>0 stamps its id at dup-slot
+    # `start`; a cummax forward-fill propagates ids (ids and starts are both
+    # increasing over writers, so max == last-stamp-at-or-before).  This
+    # replaces a per-slot binary search (max_dup·log N random gathers — the
+    # old hot spot) with one scatter + one linear max-scan + one row gather.
     writes = valid & (count > 0)
     dst = jnp.where(writes, start, max_dup)
-    # pack (tx0, ty0, nx) into one int32: 9+9+10 bits handles ≤512×512 tiles
+    sent = jnp.int32(-1)
+    stamp_g = jnp.full(max_dup, sent).at[dst].max(
+        jnp.arange(count.shape[0], dtype=jnp.int32), mode="drop")
+    g = jax.lax.cummax(stamp_g)
+    g = jnp.maximum(g, 0)
+
+    # one gather of the packed per-item record [tx0|ty0|nx, start, depth]
     assert tiles_x <= 512 and tiles_y <= 512
     rect_packed = tx0 | (ty0 << 9) | (jnp.maximum(nx, 1) << 18)
-    dq_in = jnp.clip(depth_key >> 16, 0, (1 << 14) - 1)   # 14-bit depth
-    # stamp = start(20 bits max_dup≤1M? allow 31) — keep three stamp arrays
-    sent = jnp.int32(-1)
-    stamp_start = jnp.full(max_dup, sent).at[dst].max(start, mode="drop")
-    stamp_rect = jnp.full(max_dup, sent).at[dst].max(rect_packed, mode="drop")
-    stamp_dq = jnp.full(max_dup, sent).at[dst].max(dq_in, mode="drop")
-    # forward-fill: starts are strictly increasing over writers, so segment
-    # boundaries are exactly the stamped slots; carry (start, rect, dq)
-    # together keyed on start so all three fill consistently.
-    def comb(a, b):
-        sa, ra, da = a
-        sb, rb, db = b
-        take_b = sb >= 0
-        return (jnp.where(take_b, sb, sa), jnp.where(take_b, rb, ra),
-                jnp.where(take_b, db, da))
-    f_start, f_rect, f_dq = jax.lax.associative_scan(
-        comb, (stamp_start, stamp_rect, stamp_dq))
+    rec = jnp.stack([rect_packed, start,
+                     jnp.clip(depth_key >> 16, 0, (1 << 14) - 1)], axis=-1)
+    rec_s = rec[g]                                        # (max_dup, 3)
+    f_rect, f_start, f_dq = rec_s[:, 0], rec_s[:, 1], rec_s[:, 2]
 
     slots = jnp.arange(max_dup, dtype=jnp.int32)
     k = slots - f_start
@@ -68,15 +61,10 @@ def bin_rects(tx0, ty0, nx, ny, depth_key, valid, *, tiles_x: int,
     ty0_s = (f_rect >> 9) & 0x1FF
     nx_s = jnp.maximum((f_rect >> 18) & 0x3FF, 1)
     tile = (ty0_s + k // nx_s) * tiles_x + (tx0_s + k % nx_s)
-    slot_valid = (slots < total) & (f_start >= 0)
+    # the first writer always stamps slot 0 (its start is 0), so g is correct
+    # for every slot < total
+    slot_valid = slots < total
     tile = jnp.where(slot_valid, tile, num_tiles).astype(jnp.int32)
-    # recover owning item id for the value payload of the sort: items stamp
-    # their id too (same fill)
-    stamp_g = jnp.full(max_dup, sent).at[dst].max(
-        jnp.arange(count.shape[0], dtype=jnp.int32), mode="drop")
-    g = jax.lax.associative_scan(
-        lambda a, b: jnp.where(b >= 0, b, a), stamp_g)
-    g = jnp.maximum(g, 0)
 
     # pack (tile, depth) into ONE int32 key: a single-key sort_key_val is
     # several times cheaper on TPU than a 3-operand two-key comparator sort

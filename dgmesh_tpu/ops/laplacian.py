@@ -22,6 +22,25 @@ def _face_edges(faces):
     return e
 
 
+def _segment_accumulate(keys, vals, n_segments: int):
+    """Σ vals per key, scatter-free: sort by key, prefix-sum, take segment
+    differences at boundaries found by searchsorted.  TPU scatter-add over
+    millions of colliding indices lowers terribly; sort+scan does not.
+
+    keys (E,) int32 in [0, n_segments]; vals (E, C).  Returns (n_segments, C).
+    """
+    order_key, order = jax.lax.sort_key_val(
+        keys, jnp.arange(keys.shape[0], dtype=jnp.int32))
+    vs = vals[order]
+    csum = jnp.cumsum(vs, axis=0)
+    zero = jnp.zeros((1,) + vs.shape[1:], vs.dtype)
+    csum = jnp.concatenate([zero, csum], axis=0)          # (E+1, C)
+    seg = jnp.arange(n_segments, dtype=jnp.int32)
+    lo = jnp.searchsorted(order_key, seg, side="left")
+    hi = jnp.searchsorted(order_key, seg, side="right")
+    return csum[hi] - csum[lo]
+
+
 def laplacian_uniform(verts, faces, face_valid, n_verts=None):
     """Mean squared uniform-Laplacian magnitude.
 
@@ -29,18 +48,20 @@ def laplacian_uniform(verts, faces, face_valid, n_verts=None):
     L(v) = (Σ_neighbors n_j)/deg − v, loss = mean ‖L‖².  Each undirected edge
     appears in ≥1 face; the reference iterates edges per face which counts an
     interior edge twice (once per adjacent face) — we match that weighting by
-    accumulating over per-face directed edges.
+    accumulating over per-face directed edges.  Accumulation is sort-based
+    (no scatter-add; see _segment_accumulate).
     """
     V = verts.shape[0]
     e = _face_edges(faces)                        # (3F,2)
     w = jnp.repeat(face_valid.astype(verts.dtype), 3)
-    # accumulate neighbor sums and degrees (both directions)
-    nb = jnp.zeros((V, 3), verts.dtype)
-    deg = jnp.zeros((V,), verts.dtype)
-    nb = nb.at[e[:, 0]].add(verts[e[:, 1]] * w[:, None])
-    nb = nb.at[e[:, 1]].add(verts[e[:, 0]] * w[:, None])
-    deg = deg.at[e[:, 0]].add(w)
-    deg = deg.at[e[:, 1]].add(w)
+    # both directions: key = endpoint, val = [w·neighbor, w]
+    keys = jnp.concatenate([e[:, 0], e[:, 1]])
+    nbr = jnp.concatenate([verts[e[:, 1]], verts[e[:, 0]]], axis=0)
+    ww = jnp.concatenate([w, w])
+    keys = jnp.where(ww > 0, keys, V)             # dead edges → sentinel bin
+    vals = jnp.concatenate([nbr * ww[:, None], ww[:, None]], axis=1)  # (2E,4)
+    acc = _segment_accumulate(keys, vals, V)      # (V,4)
+    nb, deg = acc[:, :3], acc[:, 3]
     has = deg > 0
     lap = nb / jnp.maximum(deg, 1.0)[:, None] - jnp.where(has[:, None], verts, 0.0)
     lap = jnp.where(has[:, None], lap, 0.0)

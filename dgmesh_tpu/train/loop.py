@@ -197,8 +197,34 @@ class Trainer:
         self.state = new_state
         return metrics
 
+    def save_debug_images(self, it: int, out_root: str):
+        """Periodic image/mesh dumps (reference: train.py:323-386 →
+        logs/ + logs_geo/)."""
+        from ..eval.testing import render_frame
+        from ..utils_io import save_image, write_mesh_ply
+        cam = self.scene.train_cameras[0]
+        batch = self.get_batch(cam)
+        mesh_on = int(self.state.step) >= self.cfg.optimization.dpsr_iter
+        out = render_frame(self.ctx, self.state, batch,
+                           min(int(self.state.step) // 1000,
+                               self.cfg.model.sh_degree), with_mesh=mesh_on)
+        logs = os.path.join(out_root, "logs")
+        save_image(os.path.join(logs, f"render_{it:06d}.png"),
+                   np.asarray(jnp.clip(out["render"], 0, 1)).transpose(1, 2, 0))
+        if mesh_on:
+            save_image(os.path.join(logs, f"mesh_{it:06d}.png"),
+                       np.asarray(jnp.clip(out["mesh_image"], 0, 1)).transpose(1, 2, 0))
+            save_image(os.path.join(logs, f"mask_{it:06d}.png"),
+                       np.asarray(jnp.clip(out["mask"], 0, 1)))
+            nv, nf = int(out["n_verts"]), int(out["n_faces"])
+            write_mesh_ply(os.path.join(out_root, "logs_geo",
+                                        f"mesh_{it:06d}.ply"),
+                           np.asarray(out["verts"])[:nv],
+                           np.asarray(out["faces"])[:nf])
+
     def train(self, iterations: Optional[int] = None, log_every: int = 100,
-              first_iter: int = 1, on_log=None):
+              first_iter: int = 1, on_log=None, image_log_every: int = 0,
+              image_log_dir: Optional[str] = None):
         o = self.cfg.optimization
         iterations = iterations or o.iterations
         t0 = time.time()
@@ -220,4 +246,6 @@ class Trainer:
                 print(line, flush=True)
                 if on_log:
                     on_log(m)
+            if image_log_every and image_log_dir and it % image_log_every == 0:
+                self.save_debug_images(it, image_log_dir)
         return self.metrics_history
