@@ -56,11 +56,11 @@ def main():
     t.max_gaussians = 131_072
     t.max_verts = 262_144
     t.max_faces = 524_288
-    t.max_gaussians_per_tile = 512
+    t.max_gaussians_per_tile = 384
     t.max_dup = 1 << 20
-    t.max_faces_per_tile = 128
+    t.max_faces_per_tile = 96
     t.max_face_dup = 1 << 20
-    t.tile_chunk = 125
+    t.tile_chunk = 500
 
     rng = np.random.default_rng(0)
     d = rng.normal(size=(N_GAUSS, 3))

@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--quit_after", type=int, default=None,
                         help="stop after N iterations (debug)")
+    parser.add_argument("--profile_iters", type=int, default=0,
+                        help="wrap the first N iterations in a jax.profiler "
+                             "trace written to <model_path>/profile (SURVEY §5: "
+                             "tracing as a first-class metric)")
     parser.add_argument("--log_images", action="store_true",
                         help="periodic image/mesh dumps to logs/ + logs_geo/ "
                              "(reference train.py:323-386)")
@@ -69,6 +73,14 @@ def main(argv=None):
         with open(os.path.join(cfg.model.model_path, "train_log.jsonl"), "a") as f:
             f.write(json.dumps(m) + "\n")
 
+    if args.profile_iters:
+        import jax
+        with jax.profiler.trace(os.path.join(cfg.model.model_path, "profile")):
+            trainer.train(iterations=min(first_iter + args.profile_iters - 1,
+                                         iterations),
+                          log_every=min(cfg.optimization.log_every, 100),
+                          first_iter=first_iter, on_log=on_log)
+        first_iter = int(trainer.state.step) + 1
     trainer.train(iterations=iterations,
                   log_every=min(cfg.optimization.log_every, 100),
                   first_iter=first_iter, on_log=on_log,
