@@ -41,32 +41,64 @@ def _segment_accumulate(keys, vals, n_segments: int):
     return csum[hi] - csum[lo]
 
 
-def laplacian_uniform(verts, faces, face_valid, n_verts=None):
+@jax.custom_vjp
+def laplacian_uniform(verts, faces, face_valid):
     """Mean squared uniform-Laplacian magnitude.
 
     reference: laplace_regularizer_const :40-59 — for every vertex,
     L(v) = (Σ_neighbors n_j)/deg − v, loss = mean ‖L‖².  Each undirected edge
     appears in ≥1 face; the reference iterates edges per face which counts an
     interior edge twice (once per adjacent face) — we match that weighting by
-    accumulating over per-face directed edges.  Accumulation is sort-based
-    (no scatter-add; see _segment_accumulate).
+    accumulating over per-face directed edges.
+
+    Both passes are sort-based segment accumulations — NO scatter-adds in
+    forward OR backward (autodiff of the neighbor gather would emit a
+    colliding scatter-add; the analytic adjoint is just another neighbor sum:
+    dL/dv = (2/Nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v)).
     """
+    loss, _ = _laplacian_fwd_impl(verts, faces, face_valid)
+    return loss
+
+
+def _laplacian_fwd_impl(verts, faces, face_valid):
     V = verts.shape[0]
     e = _face_edges(faces)                        # (3F,2)
     w = jnp.repeat(face_valid.astype(verts.dtype), 3)
-    # both directions: key = endpoint, val = [w·neighbor, w]
+    # both directions: key = endpoint, other = neighbor
     keys = jnp.concatenate([e[:, 0], e[:, 1]])
-    nbr = jnp.concatenate([verts[e[:, 1]], verts[e[:, 0]]], axis=0)
+    other = jnp.concatenate([e[:, 1], e[:, 0]])
     ww = jnp.concatenate([w, w])
     keys = jnp.where(ww > 0, keys, V)             # dead edges → sentinel bin
-    vals = jnp.concatenate([nbr * ww[:, None], ww[:, None]], axis=1)  # (2E,4)
+
+    vals = jnp.concatenate([verts[other] * ww[:, None], ww[:, None]], axis=1)
     acc = _segment_accumulate(keys, vals, V)      # (V,4)
     nb, deg = acc[:, :3], acc[:, 3]
     has = deg > 0
     lap = nb / jnp.maximum(deg, 1.0)[:, None] - jnp.where(has[:, None], verts, 0.0)
     lap = jnp.where(has[:, None], lap, 0.0)
     nv = jnp.maximum(jnp.sum(has.astype(verts.dtype)), 1.0)
-    return jnp.sum(lap * lap) / nv
+    loss = jnp.sum(lap * lap) / nv
+    return loss, (keys, other, ww, lap, deg, has, nv, V)
+
+
+def _laplacian_fwd(verts, faces, face_valid):
+    loss, res = _laplacian_fwd_impl(verts, faces, face_valid)
+    return loss, res
+
+
+def _laplacian_bwd(res, g):
+    keys, other, ww, lap, deg, has, nv, V = res
+    # dL/dv = (2/nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v); neighbor sum done with
+    # the SAME edge list, accumulating lap[other]/deg[other] into `keys`.
+    lap_over_deg = lap / jnp.maximum(deg, 1.0)[:, None]
+    contrib = lap_over_deg[other] * ww[:, None]
+    acc = _segment_accumulate(keys, contrib, V)   # (V,3)
+    dv = (2.0 / nv) * (acc - lap)
+    dv = jnp.where(has[:, None], dv, 0.0) * g
+    return dv, None, None
+
+
+laplacian_uniform.defvjp(_laplacian_fwd, _laplacian_bwd)
 
 
 def face_normals(verts, faces, face_valid, normalize: bool = True):

@@ -123,3 +123,20 @@ def test_emd_translation(rng):
     np.testing.assert_allclose(e, 0.3, rtol=0.15)
     e0 = float(chamfer.emd_sinkhorn(jnp.asarray(a), jnp.asarray(a)))
     assert e0 < 0.05
+
+
+def test_laplacian_custom_vjp_matches_fd(rng):
+    """The analytic scatter-free VJP must match finite differences."""
+    import jax.numpy as jnp
+    import jax
+    verts = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    faces = jnp.asarray(rng.integers(0, 16, (10, 3)).astype(np.int32))
+    fv = jnp.asarray(rng.random(10) > 0.3)
+    g = jax.grad(lambda v: laplacian.laplacian_uniform(v, faces, fv))(verts)
+    eps = 1e-3
+    for i in (0, 5, 11):
+        for j in range(3):
+            e = jnp.zeros_like(verts).at[i, j].set(eps)
+            fd = (float(laplacian.laplacian_uniform(verts + e, faces, fv))
+                  - float(laplacian.laplacian_uniform(verts - e, faces, fv))) / (2 * eps)
+            np.testing.assert_allclose(float(g[i, j]), fd, atol=2e-3)
