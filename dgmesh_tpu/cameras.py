@@ -136,6 +136,9 @@ class Camera:
     zfar: float = ZFAR
     trans: np.ndarray = field(default_factory=lambda: np.zeros(3, dtype=np.float32))
     scale: float = 1.0
+    # per-frame GT mesh (finetune-nerf format, dataset_readers.py:404-409)
+    mesh_verts: Optional[np.ndarray] = None
+    mesh_faces: Optional[np.ndarray] = None
 
     @property
     def world_view(self) -> np.ndarray:

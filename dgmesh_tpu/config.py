@@ -80,6 +80,9 @@ class OptimizationParams:
     # Mesh branch
     dpsr_iter: int = 5_000
     dpsr_sig: float = 0.5
+    # d_normal activation delay after dpsr_iter (reference hardcodes
+    # NORMAL_WARMUP_ITER=2000 at train.py:127; configurable here)
+    normal_net_warmup: int = 2_000
     anchor_iter: int = 8_000
     anchor_interval: int = 100
     anchor_search_radius: float = 5e-4

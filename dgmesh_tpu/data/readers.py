@@ -488,13 +488,37 @@ def read_plenoptic_scene(path: str, eval_split: bool = True,
 
 
 def read_finetune_nerf_scene(path: str, white_background: bool = False,
+                             eval_split: bool = True, mesh_path: str = None,
+                             mesh_path_test: str = None, cam_scale: float = 1.0,
                              **kw) -> SceneInfo:
     """finetune-nerf format (dataset_readers.py:355-453): Blender-style
-    transforms with pre-trained NeRF geometry; loads like Blender with the
-    alpha-masked images."""
-    return read_blender_scene(path, white_background=white_background,
-                              **{k: v for k, v in kw.items()
-                                 if k in ("eval_split", "max_frames")})
+    transforms where every frame carries a per-frame GT mesh
+    (frame_<N>.ply under mesh_path) attached to the camera record; camera
+    translation optionally scaled by cam_scale (:380)."""
+    info = read_blender_scene(path, white_background=white_background,
+                              eval_split=eval_split,
+                              max_frames=kw.get("max_frames"))
+
+    def attach(cams, mdir):
+        if not mdir:
+            return cams
+        from ..utils_io import read_mesh_ply
+        out = []
+        for cam in cams:
+            try:
+                n = int(os.path.splitext(cam.image_name)[0].split("_")[1])
+                mv, mf = read_mesh_ply(os.path.join(mdir, f"frame_{n}.ply"))
+            except (FileNotFoundError, IndexError, ValueError):
+                mv = mf = None
+            cam.mesh_verts, cam.mesh_faces = mv, mf
+            if cam_scale != 1.0:
+                cam.T = cam.T * cam_scale
+            out.append(cam)
+        return out
+
+    info.train_cameras[:] = attach(info.train_cameras, mesh_path)
+    info.test_cameras[:] = attach(info.test_cameras, mesh_path_test)
+    return info
 
 
 # registry mirrors sceneLoadTypeCallbacks (dataset_readers.py:995-1004)

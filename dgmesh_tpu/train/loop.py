@@ -115,7 +115,7 @@ class Trainer:
             warm=it < o.warm_up,
             mesh=mesh,
             freeze_pos=it < o.dpsr_iter + o.normal_warm_up,
-            use_normal=it >= o.dpsr_iter + 2000,
+            use_normal=it >= o.dpsr_iter + o.normal_net_warmup,
             anchor=anchor,
             skip_gaussian_update=anchor or densify_now,
             densify_stats=it < o.densify_until_iter,
