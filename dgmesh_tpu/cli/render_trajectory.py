@@ -8,7 +8,6 @@ the reference's pytorch3d SoftPhong shape pass, :236-319).
 from __future__ import annotations
 
 import argparse
-import math
 import os
 
 import numpy as np

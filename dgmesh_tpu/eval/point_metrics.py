@@ -8,7 +8,6 @@ pairwise distance matrices are chunked MXU matmuls.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -48,6 +48,17 @@ class DeformNetwork(nn.Module):
     is_blender: bool = False
     with_normal: bool = False
     is_6dof: bool = False
+    # Zero-init the offset heads so deformation starts at identity.  The
+    # reference uses default Linear init (a visible PSNR shock when the warm-up
+    # gate opens, train.py:154-175, recovered over thousands of iters); the
+    # identity start removes the shock without changing the fixed point.
+    zero_init_heads: bool = True
+
+    def _head(self, dim):
+        if self.zero_init_heads:
+            return nn.Dense(dim, kernel_init=nn.initializers.zeros,
+                            bias_init=nn.initializers.zeros)
+        return nn.Dense(dim)
 
     @nn.compact
     def __call__(self, xyz, t):
@@ -80,11 +91,11 @@ class DeformNetwork(nn.Module):
             screw = jnp.concatenate([w_unit, v_unit], -1)
             d_xyz = se3_transform_points(xyz, screw, theta) - xyz
         else:
-            d_xyz = nn.Dense(3)(h)
-        d_rot = nn.Dense(4)(h)
-        d_scale = nn.Dense(3)(h)
+            d_xyz = self._head(3)(h)
+        d_rot = self._head(4)(h)
+        d_scale = self._head(3)(h)
         if self.with_normal:
-            d_normal = nn.Dense(3)(h)
+            d_normal = self._head(3)(h)
             return d_xyz, d_rot, d_scale, d_normal
         return d_xyz, d_rot, d_scale
 

@@ -16,10 +16,8 @@ atomics); everything is f32.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -14,7 +14,6 @@ reference's simple-knn box pruning is an approximation; ours is not).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,6 @@ outward (positive-side) normal.
 
 from __future__ import annotations
 
-import itertools
 from typing import NamedTuple, Tuple
 
 import jax

@@ -31,7 +31,6 @@ the aux dict.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

@@ -15,7 +15,6 @@ import re
 from typing import Optional
 
 import flax.serialization as fser
-import jax
 
 from ..models import gaussians as G
 from .state import TrainState

@@ -9,8 +9,6 @@ the reference's cadence (:243-246, :287-304, :489-515).
 
 from __future__ import annotations
 
-import functools
-import math
 import os
 import random
 import time

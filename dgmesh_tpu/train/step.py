@@ -23,7 +23,6 @@ reference's optimizer-state surgery, gaussian_model_dpsr_dynamic_anchor.py
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
