@@ -244,7 +244,8 @@ def render_mesh(verts, faces, face_valid, vtx_color, pose, proj, bg_color,
     padn = n_chunks * C - T
     all_tiles = jnp.arange(T + padn, dtype=jnp.int32) % T
     tidx = bins.tile_idx
-    tidx_pad = jnp.concatenate([tidx, tidx[:padn]], 0) if padn else tidx
+    tidx_pad = (jnp.pad(tidx, ((0, padn), (0, 0)), constant_values=-1)
+                if padn else tidx)
 
     # remat (see splat.composite): avoid storing per-chunk shading tensors
     # for backward — recompute instead.

@@ -51,6 +51,7 @@ class SplatConfig(NamedTuple):
     max_per_tile: int = 1024
     max_dup: int = 1 << 22
     tile_chunk: int = 64
+    use_pallas: bool = False  # fused VMEM compositing kernel (splat_pallas)
 
     @property
     def tiles_x(self) -> int:
@@ -245,14 +246,51 @@ def _composite_chunk(tile_ids, tile_idx_chunk, pre, bg, cfg: SplatConfig):
     return out, 1.0 - t_final
 
 
+def composite_pallas(tile_idx, pre, bg, cfg: SplatConfig):
+    """Fused-VMEM compositing via the Pallas kernel (splat_pallas.py).
+
+    Gathers per-tile attributes into the kernel's (T,K,16) layout; backward
+    runs through the jnp twin (same math) with remat.
+    """
+    from .splat_pallas import make_composite_tiles
+
+    T = cfg.num_tiles
+    gi = jnp.maximum(tile_idx, 0)
+    gvalid = (tile_idx >= 0).astype(jnp.float32)
+    attrs = jnp.concatenate([
+        pre["mean2d"][gi],                       # 0,1
+        pre["conic"][gi],                        # 2,3,4
+        pre["opacity"][gi][..., None],           # 5
+        pre["color"][gi],                        # 6,7,8
+        gvalid[..., None],                       # 9
+        jnp.zeros(gi.shape + (6,)),              # pad → 16 lanes
+    ], axis=-1)
+    tids = jnp.arange(T, dtype=jnp.float32)
+    origins = jnp.stack([(tids % cfg.tiles_x) * cfg.tile_w,
+                         (tids // cfg.tiles_x) * cfg.tile_h], axis=-1)
+    rgb, alpha = make_composite_tiles(cfg.tile_h, cfg.tile_w)(attrs, origins)
+    out = rgb + (1.0 - alpha)[..., None] * bg[None, None, :]
+
+    img = out.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(cfg.tiles_y * cfg.tile_h,
+                                               cfg.tiles_x * cfg.tile_w, 3)
+    am = alpha.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w)
+    am = am.transpose(0, 2, 1, 3).reshape(cfg.tiles_y * cfg.tile_h,
+                                          cfg.tiles_x * cfg.tile_w)
+    return img[:cfg.height, :cfg.width], am[:cfg.height, :cfg.width]
+
+
 def composite(tile_idx, pre, bg, cfg: SplatConfig):
     """Composite all tiles (chunked lax.map), returning full-image tensors."""
+    if cfg.use_pallas:
+        return composite_pallas(tile_idx, pre, bg, cfg)
     T = cfg.num_tiles
     C = cfg.tile_chunk
     n_chunks = -(-T // C)
     pad = n_chunks * C - T
     all_tiles = jnp.arange(T + pad, dtype=jnp.int32) % T   # wrap padding tiles
-    tile_idx_pad = jnp.concatenate([tile_idx, tile_idx[:pad]], axis=0) if pad else tile_idx
+    tile_idx_pad = (jnp.pad(tile_idx, ((0, pad), (0, 0)), constant_values=-1)
+                    if pad else tile_idx)
 
     # remat: without it, lax.map stores every chunk's (C,K,P) compositing
     # intermediates for the backward pass — O(T·K·P) memory, OOM at 800px.

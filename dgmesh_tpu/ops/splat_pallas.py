@@ -79,6 +79,8 @@ def composite_tiles_pallas(attrs, origins, tile_h: int, tile_w: int,
     """attrs (T,K,16) f32, origins (T,2) f32 → rgb (T,P,3), alpha (T,P)."""
     T, K, _ = attrs.shape
     P = tile_h * tile_w
+    if jax.default_backend() != "tpu":
+        interpret = True  # Pallas TPU kernels interpret on CPU test backends
     kern = functools.partial(_composite_kernel, tile_h=tile_h, tile_w=tile_w)
     rgb, alpha = pl.pallas_call(
         kern,
@@ -98,3 +100,62 @@ def composite_tiles_pallas(attrs, origins, tile_h: int, tile_w: int,
         interpret=interpret,
     )(attrs, origins)
     return rgb, alpha
+
+
+# ---- jnp twin of the kernel math (used for the backward pass) --------------
+
+def _composite_ref(attrs, origins, tile_h: int, tile_w: int, chunk: int = 64):
+    """Same math as the kernel, in chunked jnp (differentiable)."""
+    T, K, _ = attrs.shape
+    P = tile_h * tile_w
+    n = -(-T // chunk)
+    pad = n * chunk - T
+    a = jnp.pad(attrs, ((0, pad), (0, 0), (0, 0))) if pad else attrs
+    o = jnp.pad(origins, ((0, pad), (0, 0))) if pad else origins
+
+    @jax.checkpoint
+    def body(args):
+        at, org = args                                      # (C,K,16),(C,2)
+        py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
+        px = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+        px = px.reshape(1, 1, P) + org[:, None, 0:1]
+        py = py.reshape(1, 1, P) + org[:, None, 1:2]
+        dx = at[..., 0:1] - px
+        dy = at[..., 1:2] - py
+        power = (-0.5 * (at[..., 2:3] * dx * dx + at[..., 4:5] * dy * dy)
+                 - at[..., 3:4] * dx * dy)
+        alpha = jnp.minimum(ALPHA_MAX, at[..., 5:6] * jnp.exp(power))
+        ok = (at[..., 9:10] > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+        alpha = jnp.where(ok, alpha, 0.0)                   # (C,K,P)
+        log1m = jnp.log1p(-alpha)
+        csum = jnp.cumsum(log1m, axis=1)
+        trans = jnp.exp(csum - log1m)
+        w = alpha * trans
+        rgb = jnp.einsum("ckp,ckd->cpd", w, at[..., 6:9])
+        return rgb, 1.0 - jnp.exp(csum[:, -1, :])
+
+    rgb, alpha = jax.lax.map(body, (a.reshape(n, chunk, K, 16),
+                                    o.reshape(n, chunk, 2)))
+    return (rgb.reshape(-1, P, 3)[:T], alpha.reshape(-1, P)[:T])
+
+
+def make_composite_tiles(tile_h: int, tile_w: int):
+    """custom_vjp closure over the static tile shape (nondiff int args are
+    awkward with custom_vjp; closing over them is cleaner)."""
+
+    @jax.custom_vjp
+    def f(attrs, origins):
+        return composite_tiles_pallas(attrs, origins, tile_h, tile_w)
+
+    def fwd(attrs, origins):
+        return composite_tiles_pallas(attrs, origins, tile_h, tile_w), (attrs, origins)
+
+    def bwd(res, g):
+        attrs, origins = res
+        _, vjp = jax.vjp(lambda a: _composite_ref(a, origins, tile_h, tile_w),
+                         attrs)
+        (d_attrs,) = vjp(g)
+        return d_attrs, None
+
+    f.defvjp(fwd, bwd)
+    return f

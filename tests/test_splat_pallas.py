@@ -42,3 +42,45 @@ def test_pallas_matches_xla_composite(rng):
             Tr *= 1 - a
         np.testing.assert_allclose(np.asarray(rgb[t]), out, atol=1e-5)
         np.testing.assert_allclose(np.asarray(alpha[t]), 1 - Tr, atol=1e-5)
+
+
+def test_render_pallas_matches_xla(rng):
+    """splat.render(use_pallas=True) must match the XLA composite, incl. grads."""
+    import jax
+    import math
+    from dgmesh_tpu.cameras import camera_from_c2w_blender
+    from dgmesh_tpu.ops import splat
+    from dgmesh_tpu.ops.sh import rgb_to_sh
+
+    W = H = 32
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 3.0
+    cam = camera_from_c2w_blender(0, c2w, 1.0, W, H, 0.0)
+    ca = splat.CameraArrays.from_camera(cam)
+    n, M = 20, 32
+    means = np.zeros((M, 3), np.float32)
+    means[:n] = rng.uniform(-0.6, 0.6, (n, 3))
+    scales = np.full((M, 3), 0.08, np.float32)
+    quats = np.zeros((M, 4), np.float32); quats[:, 0] = 1
+    opac = np.full(M, 0.7, np.float32)
+    alive = np.zeros(M, bool); alive[:n] = True
+    shs = np.asarray(rgb_to_sh(jnp.asarray(rng.random((M, 3)))))[:, None, :]
+
+    base = dict(width=W, height=H, max_per_tile=16, max_dup=512, tile_chunk=4)
+    cfg_x = splat.SplatConfig(**base, use_pallas=False)
+    cfg_p = splat.SplatConfig(**base, use_pallas=True)
+
+    def run(cfg, o):
+        out = splat.render(jnp.asarray(means), jnp.asarray(scales),
+                           jnp.asarray(quats), o, jnp.asarray(shs),
+                           jnp.asarray(alive), ca, jnp.asarray([0.2, 0.1, 0.0]),
+                           cfg, 0)
+        return out["render"]
+
+    ox = run(cfg_x, jnp.asarray(opac))
+    op = run(cfg_p, jnp.asarray(opac))
+    np.testing.assert_allclose(np.asarray(ox), np.asarray(op), atol=1e-5)
+
+    gx = jax.grad(lambda o: (run(cfg_x, o) ** 2).sum())(jnp.asarray(opac))
+    gp = jax.grad(lambda o: (run(cfg_p, o) ** 2).sum())(jnp.asarray(opac))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gp), atol=1e-4)
