@@ -268,7 +268,8 @@ def composite_pallas(tile_idx, pre, bg, cfg: SplatConfig):
     tids = jnp.arange(T, dtype=jnp.float32)
     origins = jnp.stack([(tids % cfg.tiles_x) * cfg.tile_w,
                          (tids // cfg.tiles_x) * cfg.tile_h], axis=-1)
-    rgb, alpha = make_composite_tiles(cfg.tile_h, cfg.tile_w)(attrs, origins)
+    rgb, alpha = make_composite_tiles(cfg.tiles_x, cfg.tile_h, cfg.tile_w)(
+        attrs, origins)
     out = rgb + (1.0 - alpha)[..., None] * bg[None, None, :]
 
     img = out.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, 3)

@@ -30,15 +30,16 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
 
-def _composite_kernel(attr_ref, origin_ref, out_rgb_ref, out_alpha_ref, *,
-                      tile_h: int, tile_w: int):
-    """One tile: attr (K,16) f32 in VMEM, origin (1,2) tile pixel origin."""
+def _composite_kernel(attr_ref, out_rgb_ref, out_alpha_ref, *,
+                      tile_h: int, tile_w: int, tiles_x: int):
+    """One tile: attr (K,16) f32 in VMEM; tile origin from program_id."""
     K = attr_ref.shape[1]
     P = tile_h * tile_w
 
     attrs = attr_ref[0]                                    # (K,16)
-    ox = origin_ref[0, 0]
-    oy = origin_ref[0, 1]
+    i = pl.program_id(0)
+    ox = ((i % tiles_x) * tile_w).astype(jnp.float32)
+    oy = ((i // tiles_x) * tile_h).astype(jnp.float32)
 
     # pixel centers, flattened row-major (P,)
     py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
@@ -74,14 +75,15 @@ def _composite_kernel(attr_ref, origin_ref, out_rgb_ref, out_alpha_ref, *,
     out_alpha_ref[0] = (1.0 - jnp.exp(csum[-1, :]))
 
 
-def composite_tiles_pallas(attrs, origins, tile_h: int, tile_w: int,
+def composite_tiles_pallas(attrs, tiles_x: int, tile_h: int, tile_w: int,
                            interpret: bool = False):
-    """attrs (T,K,16) f32, origins (T,2) f32 → rgb (T,P,3), alpha (T,P)."""
+    """attrs (T,K,16) f32 → rgb (T,P,3), alpha (T,P); origins from tile id."""
     T, K, _ = attrs.shape
     P = tile_h * tile_w
     if jax.default_backend() != "tpu":
         interpret = True  # Pallas TPU kernels interpret on CPU test backends
-    kern = functools.partial(_composite_kernel, tile_h=tile_h, tile_w=tile_w)
+    kern = functools.partial(_composite_kernel, tile_h=tile_h, tile_w=tile_w,
+                             tiles_x=tiles_x)
     rgb, alpha = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((T, P, 3), jnp.float32),
@@ -90,7 +92,6 @@ def composite_tiles_pallas(attrs, origins, tile_h: int, tile_w: int,
         in_specs=[
             pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
@@ -98,7 +99,7 @@ def composite_tiles_pallas(attrs, origins, tile_h: int, tile_w: int,
             pl.BlockSpec((1, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(attrs, origins)
+    )(attrs)
     return rgb, alpha
 
 
@@ -139,16 +140,15 @@ def _composite_ref(attrs, origins, tile_h: int, tile_w: int, chunk: int = 64):
     return (rgb.reshape(-1, P, 3)[:T], alpha.reshape(-1, P)[:T])
 
 
-def make_composite_tiles(tile_h: int, tile_w: int):
-    """custom_vjp closure over the static tile shape (nondiff int args are
+def make_composite_tiles(tiles_x: int, tile_h: int, tile_w: int):
+    """custom_vjp closure over the static tile geometry (nondiff int args are
     awkward with custom_vjp; closing over them is cleaner)."""
-
     @jax.custom_vjp
     def f(attrs, origins):
-        return composite_tiles_pallas(attrs, origins, tile_h, tile_w)
+        return composite_tiles_pallas(attrs, tiles_x, tile_h, tile_w)
 
     def fwd(attrs, origins):
-        return composite_tiles_pallas(attrs, origins, tile_h, tile_w), (attrs, origins)
+        return composite_tiles_pallas(attrs, tiles_x, tile_h, tile_w), (attrs, origins)
 
     def bwd(res, g):
         attrs, origins = res

@@ -21,8 +21,9 @@ def test_pallas_matches_xla_composite(rng):
     attrs[..., 9] = (rng.random((T, K)) > 0.2).astype(np.float32)
     origins = np.asarray([[0, 0], [16, 0], [0, 16], [16, 16]], np.float32)
 
-    rgb, alpha = composite_tiles_pallas(jnp.asarray(attrs), jnp.asarray(origins),
-                                        th, tw, interpret=True)
+    # tiles arranged 2x2: origin of tile i = ((i%2)*16, (i//2)*16)
+    rgb, alpha = composite_tiles_pallas(jnp.asarray(attrs), 2, th, tw,
+                                        interpret=True)
 
     # sequential front-to-back reference
     for t in range(T):
