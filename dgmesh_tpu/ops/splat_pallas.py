@@ -72,7 +72,7 @@ def _composite_kernel(attr_ref, out_rgb_ref, out_alpha_ref, *,
     out = jax.lax.dot_general(w, rgb, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (P,3)
     out_rgb_ref[0] = out
-    out_alpha_ref[0] = (1.0 - jnp.exp(csum[-1, :]))
+    out_alpha_ref[0] = (1.0 - jnp.exp(csum[-1, :]))[:, None]
 
 
 def composite_tiles_pallas(attrs, tiles_x: int, tile_h: int, tile_w: int,
@@ -87,7 +87,7 @@ def composite_tiles_pallas(attrs, tiles_x: int, tile_h: int, tile_w: int,
     rgb, alpha = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((T, P, 3), jnp.float32),
-                   jax.ShapeDtypeStruct((T, P), jnp.float32)),
+                   jax.ShapeDtypeStruct((T, P, 1), jnp.float32)),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0),
@@ -96,11 +96,12 @@ def composite_tiles_pallas(attrs, tiles_x: int, tile_h: int, tile_w: int,
         out_specs=(
             pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(attrs)
-    return rgb, alpha
+    return rgb, alpha[..., 0]
 
 
 # ---- jnp twin of the kernel math (used for the backward pass) --------------
