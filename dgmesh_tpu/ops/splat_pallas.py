@@ -62,9 +62,15 @@ def _composite_kernel(attr_ref, out_rgb_ref, out_alpha_ref, *,
     ok = (valid > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
     alpha = jnp.where(ok, alpha, 0.0)
 
-    # exclusive cumprod along K in log space
+    # exclusive cumprod along K in log space.  cumsum is not lowerable in
+    # Pallas TPU kernels; an inclusive prefix sum along K is one MXU matmul
+    # with a lower-triangular ones matrix (K≤512 ⇒ tiny).
     log1m = jnp.log1p(-alpha)                              # (K,P), α≤0.99 safe
-    csum = jnp.cumsum(log1m, axis=0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tril = (col <= row).astype(jnp.float32)
+    csum = jax.lax.dot_general(tril, log1m, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
     trans = jnp.exp(csum - log1m)                          # T_i = Π_{j<i}(1-α_j)
     w = alpha * trans                                      # (K,P)
 
@@ -72,7 +78,7 @@ def _composite_kernel(attr_ref, out_rgb_ref, out_alpha_ref, *,
     out = jax.lax.dot_general(w, rgb, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (P,3)
     out_rgb_ref[0] = out
-    out_alpha_ref[0] = (1.0 - jnp.exp(csum[-1, :]))[:, None]
+    out_alpha_ref[0] = (1.0 - jnp.exp(csum[K - 1, :]))[:, None]
 
 
 def composite_tiles_pallas(attrs, tiles_x: int, tile_h: int, tile_w: int,
