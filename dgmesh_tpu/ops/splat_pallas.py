@@ -41,9 +41,9 @@ def _composite_kernel(attr_ref, out_rgb_ref, out_alpha_ref, *,
     ox = ((i % tiles_x) * tile_w).astype(jnp.float32)
     oy = ((i // tiles_x) * tile_h).astype(jnp.float32)
 
-    # pixel centers, flattened row-major (P,)
-    py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
-    px = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+    # pixel centers, flattened row-major (P,); iota must be integer on TPU
+    py = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
+    px = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
     px = (px + ox).reshape(1, P)
     py = (py + oy).reshape(1, P)
 
