@@ -41,11 +41,11 @@ def _composite_kernel(attr_ref, out_rgb_ref, out_alpha_ref, *,
     ox = ((i % tiles_x) * tile_w).astype(jnp.float32)
     oy = ((i // tiles_x) * tile_h).astype(jnp.float32)
 
-    # pixel centers, flattened row-major (P,); iota must be integer on TPU
-    py = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0).astype(jnp.float32)
-    px = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1).astype(jnp.float32)
-    px = (px + ox).reshape(1, P)
-    py = (py + oy).reshape(1, P)
+    # pixel centers as a flat (1,P) row-major index (Mosaic cannot reshape
+    # (tile_h,tile_w) → (1,P) in-kernel; derive x/y with mod/div instead)
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (pidx % tile_w).astype(jnp.float32) + ox
+    py = (pidx // tile_w).astype(jnp.float32) + oy
 
     mean_x = attrs[:, 0:1]
     mean_y = attrs[:, 1:2]
@@ -78,7 +78,7 @@ def _composite_kernel(attr_ref, out_rgb_ref, out_alpha_ref, *,
     out = jax.lax.dot_general(w, rgb, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (P,3)
     out_rgb_ref[0] = out
-    out_alpha_ref[0] = (1.0 - jnp.exp(csum[K - 1, :]))[:, None]
+    out_alpha_ref[0] = 1.0 - jnp.exp(csum[K - 1:K, :])   # (1,P) row
 
 
 def composite_tiles_pallas(attrs, tiles_x: int, tile_h: int, tile_w: int,
@@ -93,7 +93,7 @@ def composite_tiles_pallas(attrs, tiles_x: int, tile_h: int, tile_w: int,
     rgb, alpha = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((T, P, 3), jnp.float32),
-                   jax.ShapeDtypeStruct((T, P, 1), jnp.float32)),
+                   jax.ShapeDtypeStruct((T, 1, P), jnp.float32)),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, K, 16), lambda i: (i, 0, 0),
@@ -102,12 +102,12 @@ def composite_tiles_pallas(attrs, tiles_x: int, tile_h: int, tile_w: int,
         out_specs=(
             pl.BlockSpec((1, P, 3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(attrs)
-    return rgb, alpha[..., 0]
+    return rgb, alpha[:, 0, :]
 
 
 # ---- jnp twin of the kernel math (used for the backward pass) --------------
