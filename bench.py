@@ -61,6 +61,7 @@ def main():
     t.max_faces_per_tile = 96
     t.max_face_dup = 1 << 20
     t.tile_chunk = 500
+    t.use_pallas = True
 
     rng = np.random.default_rng(0)
     d = rng.normal(size=(N_GAUSS, 3))

@@ -75,7 +75,7 @@ class StepContext:
         self.splat_cfg = splat.SplatConfig(
             width=width, height=height, tile_h=t.tile_h, tile_w=t.tile_w,
             max_per_tile=t.max_gaussians_per_tile, max_dup=t.max_dup,
-            tile_chunk=t.tile_chunk)
+            tile_chunk=t.tile_chunk, use_pallas=t.use_pallas)
         self.mr_cfg = MR.MeshRasterConfig(
             width=width, height=height, tile_h=t.tile_h, tile_w=t.tile_w,
             max_per_tile=t.max_faces_per_tile, max_dup=t.max_face_dup,
