@@ -11,7 +11,7 @@ v0–v6), which
   * is consistent across cube faces (all face diagonals run low→high corner),
     so the mesh is watertight;
   * is fully jit-compatible: topology changes are handled with size-bounded
-    `jnp.nonzero(size=...)` compaction into MAX_VERTS/MAX_FACES padded
+    gather-only stream compaction into MAX_CUBES/MAX_VERTS/MAX_FACES padded
     buffers with validity counts.
 
 Differentiability: vertex positions depend on the field only through the
@@ -21,8 +21,10 @@ gradient, same as DiffMC.
 
 Vertex identity: every mesh vertex lies on one of 7 lattice-edge classes per
 grid point (+x, +y, +z, the three face diagonals, the main diagonal); a
-vertex's global id is (point_id*7 + class).  Face indices are recovered with a
-searchsorted into the sorted compacted edge-id list — no res³-sized scatter.
+vertex's global id is (point_id*7 + class).  Active cubes are compacted FIRST
+and vertices are enumerated cube-centrically (see marching_tets below), so no
+res³·7-sized array is ever cumsum'd or searched; face indices are recovered
+with a searchsorted into the (sorted) compacted edge-id list.
 
 Field convention: outside > 0 > inside (the DPSR output after the sign fix of
 utils/renderer.py:164-167); triangle winding is right-handed around the
@@ -149,40 +151,68 @@ class MeshResult(NamedTuple):
     overflow: jnp.ndarray     # () int32: dropped cubes/verts/faces (any)
 
 
-def _edge_active_masks(sign, res):
-    """(res³,7) bool: lattice edge (p, class) crosses the iso-surface.
-
-    Slice-compare + zero-pad per class (no rolls, no boundary scatters)."""
-    masks = []
-    for d in np.asarray(_EDGE_DIRS):
-        lo = tuple(slice(0, res - s) for s in d)
-        hi = tuple(slice(s, res) for s in d)
-        core = sign[lo] != sign[hi]
-        pad = [(0, int(s)) for s in d]
-        act = jnp.pad(core, pad, constant_values=False)
-        masks.append(act.reshape(-1))
-    return jnp.stack(masks, axis=-1)                     # (res³, 7)
+# Corner-bit index of each _EDGE_DIRS offset ((dx,dy,dz) → dx*4+dy*2+dz).
+_CLASS_CORNER_BIT = np.array(
+    [d[0] * 4 + d[1] * 2 + d[2] for d in _EDGE_DIRS], np.int32)
 
 
 def marching_tets(phi, cfg: MTConfig) -> MeshResult:
-    """Extract the φ=0 iso-surface of a res³ field (outside>0)."""
+    """Extract the φ=0 iso-surface of a res³ field (outside>0).
+
+    Cube-centric: active cubes are compacted FIRST, and the vertex universe is
+    (max_cubes, 7) anchored edge classes instead of (res³, 7) lattice edges —
+    at 288³ that is a 91x reduction of the arrays the compaction cumsum /
+    binary searches touch.  The cube lattice is res³ with edge-replicated sign
+    padding: anchors p ≤ res-2 are real cubes (they emit faces); the boundary
+    pseudo-cubes only OWN their 7 anchored lattice edges, so every face
+    corner's edge id resolves to an in-grid owner cube.  Every crossing edge's
+    owner cube is active (it contains both endpoints), so the emitted vertex
+    set — and its (anchor_pid·7+class)-sorted order — is identical to
+    enumerating all res³·7 lattice edges."""
     res = cfg.res
     phi = phi.reshape(res, res, res)
     sign = phi > 0.0                                     # True = outside
 
-    # ---- vertices: one per active lattice edge (gather-only compaction) ----
-    act = _edge_active_masks(sign, res)                  # (res³,7)
-    act_flat = act.reshape(-1)
-    edge_ids, n_verts = compact_indices(act_flat, cfg.max_verts,
-                                        res * res * res * 7)
-    vert_valid = jnp.arange(cfg.max_verts) < n_verts
+    # ---- active cubes over the res³ (edge-padded) cube lattice ----
+    S = jnp.pad(sign, ((0, 1), (0, 1), (0, 1)), mode="edge")
+    # pack the 8 corner signs of each cube: corner bit layout matches _CORNERS
+    corners = []
+    for i in range(8):
+        dx, dy, dz = (i >> 2) & 1, (i >> 1) & 1, i & 1
+        corners.append(S[dx:dx + res, dy:dy + res, dz:dz + res])
+    packed = sum(cor.astype(jnp.int32) << i for i, cor in enumerate(corners))
+    cube_active = (packed != 0) & (packed != 255)
+    cube_ids, n_cubes = compact_indices(cube_active.reshape(-1), cfg.max_cubes,
+                                        res * res * res - 1)
+    cube_ok = jnp.arange(cfg.max_cubes) < jnp.minimum(n_cubes, cfg.max_cubes)
 
-    point_id = edge_ids // 7
-    klass = edge_ids % 7
-    pz = point_id % res
-    py = (point_id // res) % res
-    px = point_id // (res * res)
-    p0 = jnp.stack([px, py, pz], axis=-1)                # (V,3) int
+    # in the res³ lattice, a cube's id IS its anchor lattice-point id
+    cz = cube_ids % res
+    cy = (cube_ids // res) % res
+    cx = cube_ids // (res * res)
+    cpos = jnp.stack([cx, cy, cz], axis=-1)              # (C,3)
+    case8 = packed.reshape(-1)[cube_ids]                 # (C,)
+
+    # ---- vertices: the 7 anchored edge classes of each active cube ----
+    # crossing test straight from the packed corner-sign byte (no phi gathers)
+    s_anchor = case8 & 1                                            # corner 0
+    s_nb = (case8[:, None] >> jnp.asarray(_CLASS_CORNER_BIT)[None]) & 1
+    in_grid = jnp.all(cpos[:, None, :] + jnp.asarray(_EDGE_DIRS)[None]
+                      <= res - 1, axis=-1)                          # (C,7)
+    edge_cross = (s_nb != s_anchor[:, None]) & in_grid & cube_ok[:, None]
+
+    slots, n_verts = compact_indices(edge_cross.reshape(-1), cfg.max_verts,
+                                     cfg.max_cubes * 7 - 1)
+    vert_valid = jnp.arange(cfg.max_verts) < n_verts
+    vcube = slots // 7
+    klass = slots % 7
+    # global edge ids (anchor_pid·7+class): ascending because cube_ids are
+    # ascending and compaction preserves order; pad the tail with int32 max
+    # so the face searchsorted below stays on a sorted array.
+    edge_gids = jnp.where(vert_valid, cube_ids[vcube] * 7 + klass,
+                          jnp.int32(np.iinfo(np.int32).max))
+
+    p0 = cpos[vcube]                                     # (V,3) anchor point
     d = jnp.asarray(_EDGE_DIRS)[klass]                   # (V,3)
     p1 = jnp.clip(p0 + d, 0, res - 1)
 
@@ -195,24 +225,8 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     verts = (p0.astype(jnp.float32) + t[:, None] * d.astype(jnp.float32)) / (res - 1)
     verts = jnp.where(vert_valid[:, None], verts, 0.0)
 
-    # ---- active cubes ----
-    c = res - 1
-    s = sign.astype(jnp.int32)
-    # pack the 8 corner signs of each cube: corner bit layout matches _CORNERS
-    corners = []
-    for i in range(8):
-        dx, dy, dz = (i >> 2) & 1, (i >> 1) & 1, i & 1
-        corners.append(s[dx:dx + c, dy:dy + c, dz:dz + c])
-    packed = sum(cor.astype(jnp.int32) << i for i, cor in enumerate(corners))
-    cube_active = (packed != 0) & (packed != 255)
-    cube_ids, n_cubes = compact_indices(cube_active.reshape(-1), cfg.max_cubes, 0)
-    cube_ok = jnp.arange(cfg.max_cubes) < jnp.minimum(n_cubes, cfg.max_cubes)
-
-    cz = cube_ids % c
-    cy = (cube_ids // c) % c
-    cx = cube_ids // (c * c)
-    cpos = jnp.stack([cx, cy, cz], axis=-1)              # (C,3)
-    case8 = packed.reshape(-1)[cube_ids]                 # (C,)
+    # ---- faces: only real cubes (anchor ≤ res-2 in every dim) emit ----
+    face_src_ok = cube_ok & jnp.all(cpos <= res - 2, axis=-1)
 
     # ---- faces: per cube × 6 tets × ≤2 tris ----
     # tet case: 4 bits, bit v set when corner INSIDE (sign False → φ<0)
@@ -234,7 +248,7 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     geid = gpid * 7 + klasses                                      # (C,6,2,3)
 
     tri_valid = (jnp.arange(2)[None, None, :] < counts[:, :, None]) \
-        & cube_ok[:, None, None]                                   # (C,6,2)
+        & face_src_ok[:, None, None]                               # (C,6,2)
     # compact faces FIRST (most tet slots are empty), then binary-search only
     # the surviving 3·MAX_F corners into the sorted edge-id list — ~6x fewer
     # log(V) searches than mapping all C·6·2·3 padded corners.
@@ -242,7 +256,7 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     flat_valid = tri_valid.reshape(-1)
     face_slots, n_faces_total = compact_indices(flat_valid, cfg.max_faces, 0)
     face_geid = flat_geid[face_slots]                               # (MAX_F,3)
-    vidx = jnp.searchsorted(edge_ids, face_geid.reshape(-1)).astype(jnp.int32)
+    vidx = jnp.searchsorted(edge_gids, face_geid.reshape(-1)).astype(jnp.int32)
     faces = jnp.minimum(vidx, cfg.max_verts - 1).reshape(-1, 3)
     face_valid = jnp.arange(cfg.max_faces) < jnp.minimum(n_faces_total, cfg.max_faces)
     faces = jnp.where(face_valid[:, None], faces, 0)

@@ -1,0 +1,184 @@
+"""Capture a device trace of the mesh-phase train step and summarize it.
+
+Same workload as bench.py (800x800, 288^3 grid, 100k gaussians).  Writes a
+jax.profiler trace, then parses the chrome-trace JSON to aggregate device op
+durations by HLO op-name prefix — a poor man's op_profile that works without
+tensorboard.  Used to hunt the gap between the full-step time and the sum of
+individually-benchmarked components (see STATUS.md).
+
+Usage:  python tools/profile_step.py [trace_dir]
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_step():
+    import jax
+    import jax.numpy as jnp
+    from dgmesh_tpu.config import Config
+    from dgmesh_tpu.cameras import camera_from_c2w_blender
+    from dgmesh_tpu.train.loop import make_batch
+    from dgmesh_tpu.train.state import init_state
+    from dgmesh_tpu.train.step import StepContext, StepFlags, train_step
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    W = H = 800
+    GRID = 288
+    N_GAUSS = 100_000
+
+    cfg = Config()
+    cfg.model.is_blender = True
+    cfg.model.grid_res = GRID
+    cfg.model.sh_degree = 3
+    cfg.optimization.dpsr_sig = 3.0
+    t = cfg.tpu
+    t.max_gaussians = 131_072
+    t.max_verts = 262_144
+    t.max_faces = 524_288
+    t.max_gaussians_per_tile = 384
+    t.max_dup = 1 << 20
+    t.max_faces_per_tile = 96
+    t.max_face_dup = 1 << 20
+    t.tile_chunk = 500
+    t.use_pallas = True
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(N_GAUSS, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    r = 0.45 + 0.05 * rng.random((N_GAUSS, 1))
+    pts = (d * r).astype(np.float32)
+    cols = rng.random((N_GAUSS, 3)).astype(np.float32)
+
+    state = init_state(cfg, pts, cols)
+    d_pad = np.zeros((t.max_gaussians, 3), np.float32)
+    d_pad[:N_GAUSS] = d
+    state = state._replace(gp=state.gp._replace(
+        normal=jnp.asarray(d_pad) * state.gs.alive[:, None],
+        scaling=jnp.where(state.gs.alive[:, None],
+                          jnp.log(jnp.asarray(0.01)), state.gp.scaling)))
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 2.5
+    img = rng.random((H, W, 3)).astype(np.float32)
+    cam = camera_from_c2w_blender(0, c2w, 0.8, W, H, 0.5, image=img,
+                                  alpha_mask=np.ones((H, W, 1), np.float32))
+    batch = make_batch(cam, 0.01, np.zeros(3, np.float32))
+
+    ctx = StepContext(cfg, W, H)
+    flags = StepFlags(warm=False, mesh=True, freeze_pos=False, use_normal=True,
+                      anchor=False, densify_stats=False, sh_degree=3)
+    # donate_argnums matches bench.py so the persistent compile cache hits.
+    step = jax.jit(lambda st, b, k: train_step(ctx, st, b, k, flags, None),
+                   donate_argnums=(0,))
+    return jax, step, state, batch
+
+
+def summarize(trace_dir):
+    """Aggregate device-lane op durations from the chrome trace."""
+    paths = glob.glob(os.path.join(
+        trace_dir, "plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        print("no trace.json.gz found under", trace_dir)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # device lanes: pid whose process_name mentions TPU/device XLA ops
+    pid_names = {}
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"].get("name", "")
+    device_pids = {p for p, n in pid_names.items()
+                   if "TPU" in n or "/device" in n.lower() or "XLA" in n}
+    buckets = collections.Counter()
+    total = 0.0
+    n_ops = 0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        lane = tid_names.get((e["pid"], e["tid"]), "")
+        if "step" in lane.lower():  # steps lane double-counts
+            continue
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        name = e.get("name", "?")
+        args = e.get("args", {}) or {}
+        longname = args.get("long_name", "") or args.get("hlo_op", "") or name
+        key = classify(name, longname)
+        buckets[key] += dur
+        total += dur
+        n_ops += 1
+    print(f"\n== device op time by bucket ({n_ops} ops, {total:.0f} ms total"
+          f" across trace) ==")
+    for k, v in buckets.most_common(40):
+        print(f"  {v:9.1f} ms  {k}")
+
+
+def classify(name, longname):
+    s = (name + " " + longname).lower()
+    for key, pats in [
+        ("fft (dpsr)", ["fft"]),
+        ("sort", ["sort"]),
+        ("conv", ["convolution"]),
+        ("matmul/dot", ["dot", "matmul", "einsum"]),
+        ("scatter", ["scatter"]),
+        ("gather", ["gather"]),
+        ("pallas composite", ["composite_kernel", "pallas"]),
+        ("reduce", ["reduce"]),
+        ("copy/transpose", ["copy", "transpose", "bitcast"]),
+        ("cummax/scan", ["cummax", "cumsum", "while"]),
+        ("iota/broadcast", ["iota", "broadcast"]),
+        ("select/compare", ["select", "compare", "clamp"]),
+    ]:
+        if any(p in s for p in pats):
+            return key
+    if name.startswith("fusion") or "fusion" in s:
+        return "fusion (elementwise etc.)"
+    return name.split(".")[0][:40]
+
+
+def main():
+    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/jax_trace"
+    jax, step, state, batch = build_step()
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    print(f"# compile+first: {time.time() - t0:.1f}s", flush=True)
+    # warm
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.time()
+    with jax.profiler.trace(trace_dir):
+        for _ in range(2):
+            key, k = jax.random.split(key)
+            state, metrics = step(state, batch, k)
+        jax.block_until_ready(metrics["loss"])
+    print(f"# traced 2 steps in {time.time() - t0:.2f}s", flush=True)
+    summarize(trace_dir)
+
+
+if __name__ == "__main__":
+    main()
