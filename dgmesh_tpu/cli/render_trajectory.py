@@ -39,7 +39,6 @@ def main(argv=None):
     from ..eval.testing import render_frame
     from ..train.checkpoint import load_checkpoint
     from ..train.loop import Trainer, make_batch
-    from ..ops.laplacian import face_normals
     from ..utils_io import save_image
 
     scene = Scene(cfg, shuffle=False)
@@ -65,20 +64,14 @@ def main(argv=None):
         out = fn(trainer.state, batch)
         mesh_img = np.asarray(jnp.clip(out["mesh_image"], 0, 1)).transpose(1, 2, 0)
 
-        # shape render: grey headlight-shaded (|n·view|) vertex colors
-        verts = out["verts"]
-        fnorm = face_normals(verts, out["faces"], jnp.ones(out["faces"].shape[0], bool))
-        nv = verts.shape[0]
-        vn = jnp.zeros((nv, 3)).at[out["faces"].reshape(-1)].add(
-            jnp.repeat(fnorm, 3, axis=0))
-        vn = vn / (jnp.linalg.norm(vn, axis=-1, keepdims=True) + 1e-9)
-        view = jnp.asarray(cam.camera_center) - verts
-        view = view / (jnp.linalg.norm(view, axis=-1, keepdims=True) + 1e-9)
-        shade = jnp.abs(jnp.sum(vn * view, -1, keepdims=True))
-        grey = 0.2 + 0.7 * shade * jnp.ones((1, 3))
+        # shape render: Blinn-Phong shaded white mesh (reference:
+        # utils/renderer.py mesh_shape_renderer :236-319 — DirectionalLight
+        # from the camera toward the mesh center, specular 0.2/shininess 10)
         from ..ops import mesh_raster as MR
-        sout = MR.render_mesh(out["verts"], out["faces"],
-                              jnp.arange(out["faces"].shape[0]) < out["n_faces"],
+        fvalid = jnp.arange(out["faces"].shape[0]) < out["n_faces"]
+        grey = MR.phong_vertex_colors(out["verts"], out["faces"], fvalid,
+                                      jnp.asarray(cam.camera_center))
+        sout = MR.render_mesh(out["verts"], out["faces"], fvalid,
                               grey, batch.mesh_pose, batch.mesh_proj,
                               jnp.ones(3), trainer.ctx.mr_cfg, want_soft=False)
         shape_img = np.asarray(jnp.clip(sout["rgb"], 0, 1))

@@ -124,6 +124,24 @@ def test_soft_mask_gradient_grows_with_target():
     assert grew
 
 
+def test_phong_vertex_colors():
+    """Front-lit faces brighter than grazing ones; all values in [0,1]."""
+    verts, faces = quad()
+    cam_center = jnp.asarray([0.0, 0.0, 3.0])
+    c = mr.phong_vertex_colors(verts, faces, jnp.ones(2, bool), cam_center)
+    c = np.asarray(c)
+    assert c.shape == (4, 3)
+    assert (c >= 0).all() and (c <= 1).all()
+    # light hits the quad head-on: ambient(0.5)+diffuse(0.3)+spec(0.2) ≈ 1
+    np.testing.assert_allclose(c, 1.0, atol=0.05)
+    # a side-on quad (normal ⊥ light) only gets ambient + grazing spec
+    verts_side = jnp.asarray([[0, -.5, -.5], [0, -.5, .5],
+                              [0, .5, .5], [0, .5, -.5]], jnp.float32)
+    c2 = np.asarray(mr.phong_vertex_colors(verts_side, faces,
+                                           jnp.ones(2, bool), cam_center))
+    assert c2.mean() < c.mean() - 0.2
+
+
 def test_color_gradients():
     verts, faces = quad()
     pose, proj = look_at_camera()
