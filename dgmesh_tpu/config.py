@@ -121,6 +121,13 @@ class TpuParams:
     use_pallas: bool = False              # fused VMEM splat compositing kernel
                                           # (1.6x faster f+b on v5e; off by
                                           # default so CPU tests use XLA)
+    dpsr_div_splat: bool = False          # 2-FFT divergence-splat DPSR path
+                                          # (vs 4-FFT spectral; same surface
+                                          # under the Gaussian low-pass)
+    mlp_bf16: bool = False                # bf16 trunk matmuls in the deform/
+                                          # appearance MLPs (params + heads f32)
+    dpsr_fft_matmul: bool = False         # MXU matmul-DFT Poisson solve (fast
+                                          # on TPU; needs dpsr_div_splat)
 
 
 _GROUPS = {

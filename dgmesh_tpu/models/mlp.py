@@ -48,6 +48,10 @@ class DeformNetwork(nn.Module):
     is_blender: bool = False
     with_normal: bool = False
     is_6dof: bool = False
+    # Compute dtype for the 8x256 trunk matmuls (params stay float32); set
+    # jnp.bfloat16 to run them on the MXU at 2x rate — heads and outputs are
+    # always float32.
+    dtype: object = None
     # Zero-init the offset heads so deformation starts at identity.  The
     # reference uses default Linear init (a visible PSNR shock when the warm-up
     # gate opens, train.py:154-175, recovered over thousands of iters); the
@@ -65,18 +69,19 @@ class DeformNetwork(nn.Module):
         t_multires = 6 if self.is_blender else 10
         t_emb = positional_encoding(t, t_multires)
         if self.is_blender:
-            h = nn.Dense(256)(t_emb)
+            h = nn.Dense(256, dtype=self.dtype)(t_emb)
             h = nn.relu(h)
-            t_emb = nn.Dense(30)(h)
+            t_emb = nn.Dense(30, dtype=self.dtype)(h)
         x_emb = positional_encoding(xyz, self.multires)
-        inp = jnp.concatenate([x_emb, t_emb], axis=-1)
+        inp = jnp.concatenate([x_emb, t_emb.astype(x_emb.dtype)], axis=-1)
         skip = self.depth // 2
         h = inp
         for i in range(self.depth):
-            h = nn.Dense(self.width)(h)
+            h = nn.Dense(self.width, dtype=self.dtype)(h)
             h = nn.relu(h)
             if i == skip:
                 h = jnp.concatenate([inp, h], axis=-1)
+        h = h.astype(jnp.float32)
         if self.is_6dof:
             # screw-motion head (reference time_utils.py:100-124): the caller
             # treats d_xyz as the SE(3)-transformed position delta is NOT
@@ -112,24 +117,26 @@ class DeformNetworkNormalSep(nn.Module):
     width: int = 256
     multires: int = 10
     is_blender: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, xyz, t):
         t_multires = 6 if self.is_blender else 10
         t_emb = positional_encoding(t, t_multires)
         if self.is_blender:
-            h = nn.Dense(256)(t_emb)
+            h = nn.Dense(256, dtype=self.dtype)(t_emb)
             h = nn.relu(h)
-            t_emb = nn.Dense(30)(h)
+            t_emb = nn.Dense(30, dtype=self.dtype)(h)
         x_emb = positional_encoding(xyz, self.multires)
-        inp = jnp.concatenate([x_emb, t_emb], axis=-1)
+        inp = jnp.concatenate([x_emb, t_emb.astype(x_emb.dtype)], axis=-1)
         skip = self.depth // 2
         h = inp
         for i in range(self.depth):
-            h = nn.Dense(self.width)(h)
+            h = nn.Dense(self.width, dtype=self.dtype)(h)
             h = nn.relu(h)
             if i == skip:
                 h = jnp.concatenate([inp, h], axis=-1)
+        h = h.astype(jnp.float32)
         d_normal = nn.Dense(3, kernel_init=nn.initializers.zeros,
                             bias_init=nn.initializers.zeros)(h)
         return d_normal
@@ -145,24 +152,26 @@ class AppearanceNetwork(nn.Module):
     width: int = 256
     multires: int = 10
     is_blender: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, xyz, t):
         t_multires = 6 if self.is_blender else 10
         t_emb = positional_encoding(t, t_multires)
         if self.is_blender:
-            h = nn.Dense(256)(t_emb)
+            h = nn.Dense(256, dtype=self.dtype)(t_emb)
             h = nn.relu(h)
-            t_emb = nn.Dense(30)(h)
+            t_emb = nn.Dense(30, dtype=self.dtype)(h)
         x_emb = positional_encoding(xyz, self.multires)
-        inp = jnp.concatenate([x_emb, t_emb], axis=-1)
+        inp = jnp.concatenate([x_emb, t_emb.astype(x_emb.dtype)], axis=-1)
         skip = self.depth // 2
         h = inp
         for i in range(self.depth):
-            h = nn.Dense(self.width)(h)
+            h = nn.Dense(self.width, dtype=self.dtype)(h)
             h = nn.relu(h)
             if i == skip:
                 h = jnp.concatenate([inp, h], axis=-1)
+        h = h.astype(jnp.float32)
         rgb = nn.Dense(3)(h)
         return jax.nn.sigmoid(rgb)
 

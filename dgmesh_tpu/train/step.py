@@ -83,7 +83,9 @@ class StepContext:
         self.mt_cfg = MTConfig(res=cfg.model.grid_res, max_verts=t.max_verts,
                                max_faces=t.max_faces,
                                max_cubes=max(t.max_verts, t.max_faces // 2))
-        self.dpsr = DPSR((cfg.model.grid_res,) * 3, sig=cfg.optimization.dpsr_sig)
+        self.dpsr = DPSR((cfg.model.grid_res,) * 3, sig=cfg.optimization.dpsr_sig,
+                         div_mode="splat" if t.dpsr_div_splat else "spectral",
+                         fft_impl="matmul" if t.dpsr_fft_matmul else "xla")
         self.nets_def = build_nets(cfg)
 
 

@@ -71,6 +71,61 @@ def test_dpsr_padding_invariance():
                                atol=1e-4)
 
 
+def test_dpsr_splat_mode_matches_spectral():
+    """The 2-FFT divergence-splat path must agree with the spectral path.
+
+    The two differ only in how the hat kernel's derivative is taken (analytic
+    vs spectral); with the Gaussian low-pass the indicator fields should be
+    nearly identical after the shift/scale normalization."""
+    pts, normals = sphere_points(n=3000)
+    res = (48, 48, 48)
+    phi_s = np.asarray(DPSR(res, sig=2.0)(jnp.asarray(pts), jnp.asarray(normals)))
+    phi_f = np.asarray(DPSR(res, sig=2.0, div_mode="splat")(
+        jnp.asarray(pts), jnp.asarray(normals)))
+    if phi_s[0, 0, 0] < 0:
+        phi_s = -phi_s
+    if phi_f[0, 0, 0] < 0:
+        phi_f = -phi_f
+    # same normalized scale (corner = +0.5), compare fields directly
+    corr = np.corrcoef(phi_s.ravel(), phi_f.ravel())[0, 1]
+    assert corr > 0.995, corr
+    # zero-crossing radius along center row matches within half a voxel
+    for phi in (phi_f,):
+        row = phi[:, 24, 24]
+        crossings = np.nonzero(np.diff(np.sign(row)))[0]
+        radii = np.abs(crossings / 48.0 + 0.5 / 48 - 0.5)
+        np.testing.assert_allclose(radii, 0.25, atol=1.5 / 48)
+
+
+def test_dpsr_matmul_fft_matches_xla():
+    """MXU matmul-DFT Poisson solve ≡ the XLA-FFT solve (same splat mode)."""
+    pts, normals = sphere_points(n=1000)
+    res = (32, 32, 32)
+    phi_x = np.asarray(DPSR(res, sig=2.0, div_mode="splat")(
+        jnp.asarray(pts), jnp.asarray(normals)))
+    phi_m = np.asarray(DPSR(res, sig=2.0, div_mode="splat", fft_impl="matmul")(
+        jnp.asarray(pts), jnp.asarray(normals)))
+    np.testing.assert_allclose(phi_m, phi_x, atol=2e-3)
+
+    def loss(p, n):
+        return (DPSR(res, sig=2.0, div_mode="splat", fft_impl="matmul")(p, n) ** 2).mean()
+
+    gp, gn = jax.grad(loss, argnums=(0, 1))(jnp.asarray(pts), jnp.asarray(normals))
+    assert np.isfinite(np.asarray(gp)).all() and np.abs(np.asarray(gn)).sum() > 0
+
+
+def test_dpsr_splat_mode_gradients():
+    pts, normals = sphere_points(n=200)
+    dpsr = DPSR((24, 24, 24), sig=2.0, div_mode="splat")
+
+    def loss(p, n):
+        return (dpsr(p, n) ** 2).mean()
+
+    gp, gn = jax.grad(loss, argnums=(0, 1))(jnp.asarray(pts), jnp.asarray(normals))
+    assert np.isfinite(np.asarray(gp)).all() and np.isfinite(np.asarray(gn)).all()
+    assert np.abs(np.asarray(gp)).sum() > 0 and np.abs(np.asarray(gn)).sum() > 0
+
+
 def test_dpsr_gradients():
     pts, normals = sphere_points(n=200)
     dpsr = DPSR((24, 24, 24), sig=2.0)

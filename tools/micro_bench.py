@@ -147,8 +147,20 @@ def main():
         nn = jnp.asarray(d, jnp.float32)
 
         timed("dpsr f", lambda p, n: dpsr(p, n).sum(), pn, nn)
-        timed("dpsr f+b",
-              jax.grad(lambda p, n: (dpsr(p, n) ** 2).mean(), argnums=(0, 1)),
+        if "dpsr_xla_bwd" in which:  # XLA-FFT backward: ~30 min compile
+            timed("dpsr f+b",
+                  jax.grad(lambda p, n: (dpsr(p, n) ** 2).mean(), argnums=(0, 1)),
+                  pn, nn)
+        dpsr_s = DPSR((GRID,) * 3, sig=3.0, div_mode="splat")
+        timed("dpsr f (div-splat)", lambda p, n: dpsr_s(p, n).sum(), pn, nn)
+        timed("dpsr f+b (div-splat)",
+              jax.grad(lambda p, n: (dpsr_s(p, n) ** 2).mean(), argnums=(0, 1)),
+              pn, nn)
+        dpsr_m = DPSR((GRID,) * 3, sig=3.0, div_mode="splat", fft_impl="matmul")
+        timed("dpsr f (div-splat+matmulfft)",
+              lambda p, n: dpsr_m(p, n).sum(), pn, nn)
+        timed("dpsr f+b (div-splat+matmulfft)",
+              jax.grad(lambda p, n: (dpsr_m(p, n) ** 2).mean(), argnums=(0, 1)),
               pn, nn)
 
     if "mt" in which:
@@ -207,6 +219,15 @@ def main():
 
         timed("deform mlp f+b (131k pts)",
               jax.grad(mlp_fb, argnums=(0, 1)), params, pts)
+
+        net16 = DeformNetwork(is_blender=True, dtype=jnp.bfloat16)
+
+        def mlp16_fb(par, p):
+            o = net16.apply(par, p, t)
+            return sum((x ** 2).sum() for x in o if x is not None)
+
+        timed("deform mlp f+b bf16 (131k pts)",
+              jax.grad(mlp16_fb, argnums=(0, 1)), params, pts)
 
 
 if __name__ == "__main__":

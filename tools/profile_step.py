@@ -57,6 +57,9 @@ def build_step():
     t.max_face_dup = 1 << 20
     t.tile_chunk = 500
     t.use_pallas = True
+    t.dpsr_div_splat = True
+    t.dpsr_fft_matmul = True
+    t.mlp_bf16 = True
 
     rng = np.random.default_rng(0)
     d = rng.normal(size=(N_GAUSS, 3))
