@@ -17,6 +17,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .scan import cumsum1d, cummax1d, searchsorted1d
+
 
 class TileBins(NamedTuple):
     tile_idx: jnp.ndarray     # (num_tiles, K) int32 item ids, -1 padded
@@ -30,7 +32,7 @@ def bin_rects(tx0, ty0, nx, ny, depth_key, valid, *, tiles_x: int,
     """All inputs (N,) int32 / depth_key int32 / valid bool."""
     num_tiles = tiles_x * tiles_y
     count = jnp.where(valid, nx * ny, 0)
-    offsets = jnp.cumsum(count)
+    offsets = cumsum1d(count)
     total = offsets[-1]
     start = (offsets - count).astype(jnp.int32)
 
@@ -44,7 +46,7 @@ def bin_rects(tx0, ty0, nx, ny, depth_key, valid, *, tiles_x: int,
     sent = jnp.int32(-1)
     stamp_g = jnp.full(max_dup, sent).at[dst].max(
         jnp.arange(count.shape[0], dtype=jnp.int32), mode="drop")
-    g = jax.lax.cummax(stamp_g)
+    g = cummax1d(stamp_g)
     g = jnp.maximum(g, 0)
 
     # one gather of the packed per-item record [tx0|ty0|nx, start, depth]
@@ -77,10 +79,8 @@ def bin_rects(tx0, ty0, nx, ny, depth_key, valid, *, tiles_x: int,
     _key_s, g_s = jax.lax.sort_key_val(key, g)
 
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    t_start = jnp.searchsorted(_key_s, tids << depth_bits,
-                               side="left").astype(jnp.int32)
-    t_end = jnp.searchsorted(_key_s, (tids + 1) << depth_bits,
-                             side="left").astype(jnp.int32)
+    t_start = searchsorted1d(_key_s, tids << depth_bits, side="left")
+    t_end = searchsorted1d(_key_s, (tids + 1) << depth_bits, side="left")
 
     karange = jnp.arange(max_per_tile, dtype=jnp.int32)
     pos = t_start[:, None] + karange[None, :]

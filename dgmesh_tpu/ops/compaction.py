@@ -11,14 +11,16 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .scan import cumsum1d, searchsorted1d
+
 
 def compact_indices(mask, size: int, fill_value: int):
     """Indices of the first `size` True entries of 1-D `mask`, padded with
     fill_value.  Equivalent to jnp.nonzero(mask, size=size,
     fill_value=fill_value)[0] but gather-only.  Also returns the true count."""
-    c = jnp.cumsum(mask.astype(jnp.int32))
+    c = cumsum1d(mask.astype(jnp.int32))
     total = c[-1]
     j = jnp.arange(size, dtype=jnp.int32)
-    idx = jnp.searchsorted(c, j + 1, side="left").astype(jnp.int32)
+    idx = searchsorted1d(c, j + 1, side="left")
     idx = jnp.where(j < total, idx, fill_value)
     return idx, total

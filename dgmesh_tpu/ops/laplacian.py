@@ -13,6 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .scan import cumsum_cols, searchsorted1d
+
 
 def _face_edges(faces):
     """Directed edge list (3F, 2) from faces — both directions accumulate in
@@ -32,12 +34,12 @@ def _segment_accumulate(keys, vals, n_segments: int):
     order_key, order = jax.lax.sort_key_val(
         keys, jnp.arange(keys.shape[0], dtype=jnp.int32))
     vs = vals[order]
-    csum = jnp.cumsum(vs, axis=0)
+    csum = cumsum_cols(vs)
     zero = jnp.zeros((1,) + vs.shape[1:], vs.dtype)
     csum = jnp.concatenate([zero, csum], axis=0)          # (E+1, C)
     seg = jnp.arange(n_segments, dtype=jnp.int32)
-    lo = jnp.searchsorted(order_key, seg, side="left")
-    hi = jnp.searchsorted(order_key, seg, side="right")
+    lo = searchsorted1d(order_key, seg, side="left")
+    hi = searchsorted1d(order_key, seg, side="right")
     return csum[hi] - csum[lo]
 
 

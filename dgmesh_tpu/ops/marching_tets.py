@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .compaction import compact_indices
+from .scan import searchsorted1d
 
 # Cube corners, x-major bit layout: corner i = (i>>2 & 1, i>>1 & 1, i & 1).
 _CORNERS = np.array([[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)],
@@ -236,27 +237,27 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     tet_case = sum(corner_in[..., v].astype(jnp.int32) << v for v in range(4))  # (C,6)
 
     counts = _TRI_COUNT[jnp.arange(6)[None, :], tet_case]          # (C,6)
-    tris = _TRI_TABLE[jnp.arange(6)[None, :], tet_case]            # (C,6,2,3) tet-edge idx
-
-    # map tet-edge → global edge id
-    anchors = _EDGE_ANCHOR[jnp.arange(6)[None, :, None, None],
-                           jnp.where(tris >= 0, tris, 0)]          # (C,6,2,3,3)
-    klasses = _EDGE_CLASS[jnp.arange(6)[None, :, None, None],
-                          jnp.where(tris >= 0, tris, 0)]           # (C,6,2,3)
-    gpt = cpos[:, None, None, None, :] + anchors                   # lattice point
-    gpid = (gpt[..., 0] * res + gpt[..., 1]) * res + gpt[..., 2]
-    geid = gpid * 7 + klasses                                      # (C,6,2,3)
 
     tri_valid = (jnp.arange(2)[None, None, :] < counts[:, :, None]) \
         & face_src_ok[:, None, None]                               # (C,6,2)
-    # compact faces FIRST (most tet slots are empty), then binary-search only
-    # the surviving 3·MAX_F corners into the sorted edge-id list — ~6x fewer
-    # log(V) searches than mapping all C·6·2·3 padded corners.
-    flat_geid = geid.reshape(-1, 3)
-    flat_valid = tri_valid.reshape(-1)
-    face_slots, n_faces_total = compact_indices(flat_valid, cfg.max_faces, 0)
-    face_geid = flat_geid[face_slots]                               # (MAX_F,3)
-    vidx = jnp.searchsorted(edge_gids, face_geid.reshape(-1)).astype(jnp.int32)
+    # compact face slots FIRST, then do ALL per-face gathers (table lookup,
+    # anchor offsets, global edge ids, binary search) at MAX_F scale only —
+    # never materializing (C,6,2,3)-sized edge-id tensors.
+    face_slots, n_faces_total = compact_indices(tri_valid.reshape(-1),
+                                                cfg.max_faces, 0)
+    fcube = face_slots // 12
+    frem = face_slots % 12
+    ftet = frem // 2
+    fk = frem % 2
+    fcase = tet_case[fcube, ftet]                                  # (MAX_F,)
+    ftris = _TRI_TABLE[ftet, fcase, fk]                            # (MAX_F,3)
+    ftris = jnp.where(ftris >= 0, ftris, 0)
+    fanch = _EDGE_ANCHOR[ftet[:, None], ftris]                     # (MAX_F,3,3)
+    fklass = _EDGE_CLASS[ftet[:, None], ftris]                     # (MAX_F,3)
+    gpt = cpos[fcube][:, None, :] + fanch                          # lattice point
+    gpid = (gpt[..., 0] * res + gpt[..., 1]) * res + gpt[..., 2]
+    face_geid = gpid * 7 + fklass                                  # (MAX_F,3)
+    vidx = searchsorted1d(edge_gids, face_geid.reshape(-1), side="left")
     faces = jnp.minimum(vidx, cfg.max_verts - 1).reshape(-1, 3)
     face_valid = jnp.arange(cfg.max_faces) < jnp.minimum(n_faces_total, cfg.max_faces)
     faces = jnp.where(face_valid[:, None], faces, 0)

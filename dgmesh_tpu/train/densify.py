@@ -24,6 +24,7 @@ from ..config import Config
 from ..models import gaussians as G
 from ..models.gaussians import GaussianParams, GaussianStats, inverse_sigmoid
 from ..ops.compaction import compact_indices
+from ..ops.scan import searchsorted1d
 from ..ops.knn import knn, mean_knn_dist2
 from ..ops.laplacian import face_centroids, face_normals
 from ..ops.occupancy import gaussian_occupancy_grid, sample_mesh_surface
@@ -227,7 +228,7 @@ def anchor_step(cfg: Config, nets_def, gp: GaussianParams, gs: GaussianStats,
     gkey = jnp.where(alive1, nn, F).astype(jnp.int32)
     sorted_key, sorted_gid = jax.lax.sort(
         (gkey, jnp.arange(M, dtype=jnp.int32)), num_keys=1, is_stable=True)
-    own_start = jnp.searchsorted(sorted_key, gkey)
+    own_start = searchsorted1d(sorted_key, gkey)
     pos_sorted = jnp.zeros(M, jnp.int32).at[sorted_gid].set(jnp.arange(M, dtype=jnp.int32))
     rank = pos_sorted - own_start                     # 0-based rank within face
 
@@ -235,7 +236,7 @@ def anchor_step(cfg: Config, nets_def, gp: GaussianParams, gs: GaussianStats,
     to_delete = in_sel & (rank >= topn)               # extras beyond topn (:802-805)
 
     # per selected face: first two gaussians
-    f_start = jnp.searchsorted(sorted_key, sel_f)
+    f_start = searchsorted1d(sorted_key, sel_f)
     ga = sorted_gid[jnp.minimum(f_start, M - 1)]
     gb = sorted_gid[jnp.minimum(f_start + 1, M - 1)]
     merge_valid = sel_valid  # counts>1 ⇒ both exist

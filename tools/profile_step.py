@@ -135,6 +135,25 @@ def summarize(trace_dir):
     for k, v in buckets.most_common(40):
         print(f"  {v:9.1f} ms  {k}")
 
+    # top individual ops (aggregated by name), with a snippet of long_name
+    per_op = collections.Counter()
+    op_long = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        lane = tid_names.get((e["pid"], e["tid"]), "")
+        if "step" in lane.lower():
+            continue
+        name = e.get("name", "?")
+        per_op[name] += e.get("dur", 0) / 1e3
+        args = e.get("args", {}) or {}
+        ln = args.get("long_name", "") or args.get("hlo_op", "")
+        if ln and name not in op_long:
+            op_long[name] = ln
+    print("\n== top 45 ops by total time ==")
+    for k, v in per_op.most_common(45):
+        print(f"  {v:9.1f} ms  {k[:60]}  | {op_long.get(k, '')[:110]}")
+
 
 def classify(name, longname):
     s = (name + " " + longname).lower()
