@@ -24,10 +24,22 @@ def _face_edges(faces):
     return e
 
 
+def _segment_bounds(order_key, n_segments: int):
+    """[lo, hi) index ranges of each key-run in a sorted key array.
+
+    One search over arange(n_segments+1): for integer keys,
+    searchsorted(k+1, left) == searchsorted(k, right), so hi is just lo
+    shifted — halves the binary-search cost vs a left+right pair.
+    """
+    bounds = searchsorted1d(order_key, jnp.arange(n_segments + 1,
+                                                  dtype=jnp.int32), side="left")
+    return bounds[:-1], bounds[1:]
+
+
 def _segment_accumulate(keys, vals, n_segments: int):
     """Σ vals per key, scatter-free: sort by key, prefix-sum, take segment
-    differences at boundaries found by searchsorted.  TPU scatter-add over
-    millions of colliding indices lowers terribly; sort+scan does not.
+    differences at run boundaries.  TPU scatter-add over millions of
+    colliding indices lowers terribly; sort+scan does not.
 
     keys (E,) int32 in [0, n_segments]; vals (E, C).  Returns (n_segments, C).
     """
@@ -37,9 +49,7 @@ def _segment_accumulate(keys, vals, n_segments: int):
     csum = cumsum_cols(vs)
     zero = jnp.zeros((1,) + vs.shape[1:], vs.dtype)
     csum = jnp.concatenate([zero, csum], axis=0)          # (E+1, C)
-    seg = jnp.arange(n_segments, dtype=jnp.int32)
-    lo = searchsorted1d(order_key, seg, side="left")
-    hi = searchsorted1d(order_key, seg, side="right")
+    lo, hi = _segment_bounds(order_key, n_segments)
     return csum[hi] - csum[lo]
 
 
@@ -56,7 +66,9 @@ def laplacian_uniform(verts, faces, face_valid):
     Both passes are sort-based segment accumulations — NO scatter-adds in
     forward OR backward (autodiff of the neighbor gather would emit a
     colliding scatter-add; the analytic adjoint is just another neighbor sum:
-    dL/dv = (2/Nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v)).
+    dL/dv = (2/Nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v)).  The backward reuses
+    the forward's sort order and segment bounds (same keys ⇒ same runs), so
+    it is one gather + one blocked prefix-sum.
     """
     loss, _ = _laplacian_fwd_impl(verts, faces, face_valid)
     return loss
@@ -65,22 +77,27 @@ def laplacian_uniform(verts, faces, face_valid):
 def _laplacian_fwd_impl(verts, faces, face_valid):
     V = verts.shape[0]
     e = _face_edges(faces)                        # (3F,2)
-    w = jnp.repeat(face_valid.astype(verts.dtype), 3)
+    valid3 = jnp.repeat(face_valid, 3)
     # both directions: key = endpoint, other = neighbor
     keys = jnp.concatenate([e[:, 0], e[:, 1]])
     other = jnp.concatenate([e[:, 1], e[:, 0]])
-    ww = jnp.concatenate([w, w])
-    keys = jnp.where(ww > 0, keys, V)             # dead edges → sentinel bin
+    vv = jnp.concatenate([valid3, valid3])
+    keys = jnp.where(vv, keys, V)                 # dead edges → sentinel bin
 
-    vals = jnp.concatenate([verts[other] * ww[:, None], ww[:, None]], axis=1)
-    acc = _segment_accumulate(keys, vals, V)      # (V,4)
-    nb, deg = acc[:, :3], acc[:, 3]
+    # neighbor ids ride the sort as the payload — no iota+gather indirection
+    order_key, other_s = jax.lax.sort_key_val(keys, other)
+    vs = verts[other_s]                           # invalid rows land in bin V
+    csum = jnp.concatenate([jnp.zeros((1, 3), verts.dtype), cumsum_cols(vs)])
+    lo, hi = _segment_bounds(order_key, V)
+    nb = csum[hi] - csum[lo]                      # (V,3) Σ neighbors
+    deg = (hi - lo).astype(verts.dtype)           # bins < V hold only valid edges
+
     has = deg > 0
     lap = nb / jnp.maximum(deg, 1.0)[:, None] - jnp.where(has[:, None], verts, 0.0)
     lap = jnp.where(has[:, None], lap, 0.0)
     nv = jnp.maximum(jnp.sum(has.astype(verts.dtype)), 1.0)
     loss = jnp.sum(lap * lap) / nv
-    return loss, (keys, other, ww, lap, deg, has, nv, V)
+    return loss, (other_s, lo, hi, lap, deg, has, nv)
 
 
 def _laplacian_fwd(verts, faces, face_valid):
@@ -89,12 +106,13 @@ def _laplacian_fwd(verts, faces, face_valid):
 
 
 def _laplacian_bwd(res, g):
-    keys, other, ww, lap, deg, has, nv, V = res
-    # dL/dv = (2/nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v); neighbor sum done with
-    # the SAME edge list, accumulating lap[other]/deg[other] into `keys`.
+    other_s, lo, hi, lap, deg, has, nv = res
+    # dL/dv = (2/nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v); neighbor sum over the
+    # SAME sorted edge slots — no sort, no search, just gather + prefix-sum.
     lap_over_deg = lap / jnp.maximum(deg, 1.0)[:, None]
-    contrib = lap_over_deg[other] * ww[:, None]
-    acc = _segment_accumulate(keys, contrib, V)   # (V,3)
+    contrib = lap_over_deg[other_s]
+    csum = jnp.concatenate([jnp.zeros((1, 3), lap.dtype), cumsum_cols(contrib)])
+    acc = csum[hi] - csum[lo]
     dv = (2.0 / nv) * (acc - lap)
     dv = jnp.where(has[:, None], dv, 0.0) * g
     return dv, None, None

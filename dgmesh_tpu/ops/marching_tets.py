@@ -24,7 +24,7 @@ grid point (+x, +y, +z, the three face diagonals, the main diagonal); a
 vertex's global id is (point_id*7 + class).  Active cubes are compacted FIRST
 and vertices are enumerated cube-centrically (see marching_tets below), so no
 res³·7-sized array is ever cumsum'd or searched; face indices are recovered
-with a searchsorted into the (sorted) compacted edge-id list.
+with a sort-merge rank join against the (sorted) compacted edge-id list.
 
 Field convention: outside > 0 > inside (the DPSR output after the sign fix of
 utils/renderer.py:164-167); triangle winding is right-handed around the
@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .compaction import compact_indices
-from .scan import searchsorted1d
+from .scan import rank_in_sorted
 
 # Cube corners, x-major bit layout: corner i = (i>>2 & 1, i>>1 & 1, i & 1).
 _CORNERS = np.array([[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)],
@@ -128,11 +128,12 @@ def _build_tables():
                     tri[1], tri[2] = tri[2], tri[1]
                 tri_table[t, case, k] = tri
             tri_count[t, case] = len(tris)
-    return (jnp.asarray(edge_anchor), jnp.asarray(edge_class),
-            jnp.asarray(tri_table), jnp.asarray(tri_count))
+    return edge_anchor, edge_class, tri_table, tri_count
 
 
-_EDGE_ANCHOR, _EDGE_CLASS, _TRI_TABLE, _TRI_COUNT = _build_tables()
+_EDGE_ANCHOR_NP, _EDGE_CLASS_NP, _TRI_TABLE_NP, _TRI_COUNT_NP = _build_tables()
+_TRI_TABLE = jnp.asarray(_TRI_TABLE_NP)
+_TRI_COUNT = jnp.asarray(_TRI_COUNT_NP)
 
 
 class MTConfig(NamedTuple):
@@ -140,6 +141,11 @@ class MTConfig(NamedTuple):
     max_verts: int
     max_faces: int
     max_cubes: int
+    # narrow-band block compaction: capacity of 4×4×2-cube blocks touching
+    # the surface (0 → max_cubes // 4; smooth surfaces average ≥8 active
+    # cubes per active block, so this is generous).  Only used when res is
+    # divisible by 4 — otherwise the flat res³ compaction path runs.
+    max_blocks: int = 0
 
 
 class MeshResult(NamedTuple):
@@ -182,9 +188,56 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
         dx, dy, dz = (i >> 2) & 1, (i >> 1) & 1, i & 1
         corners.append(S[dx:dx + res, dy:dy + res, dz:dz + res])
     packed = sum(cor.astype(jnp.int32) << i for i, cor in enumerate(corners))
-    cube_active = (packed != 0) & (packed != 255)
-    cube_ids, n_cubes = compact_indices(cube_active.reshape(-1), cfg.max_cubes,
-                                        res * res * res - 1)
+
+    def flat_compact(_):
+        cube_active = (packed != 0) & (packed != 255)
+        cube_ids, n_cubes = compact_indices(cube_active.reshape(-1),
+                                            cfg.max_cubes, res * res * res)
+        return cube_ids, packed.reshape(-1)[cube_ids], n_cubes
+
+    if res % 4 == 0:
+        # Narrow-band fast path: compact 4×4×2 blocks first (one cheap
+        # reduce over a block-major relayout), then row-gather ONLY surface
+        # blocks and scatter-compact their 32·max_blocks cubes — no binary
+        # search of the res³ universe (74 ms → ~20 ms at 288³ on v5e).
+        # A lax.cond falls back to the exact flat compaction whenever the
+        # block capacity would truncate (noisy fields early in training) or
+        # the cube capacity saturates (subset choice must match flat) — so
+        # this path NEVER changes results, only speed.
+        r1, r2, r3 = res // 4, res // 4, res // 2
+        max_blocks = cfg.max_blocks or max(cfg.max_cubes // 4, 1024)
+        pb = packed.reshape(r1, 4, r2, 4, r3, 2).transpose(0, 2, 4, 1, 3, 5)
+        pb = pb.reshape(-1, 32)                          # (NB,32) block-major
+        act_blk = (pb != 0) & (pb != 255)
+        blk_any = jnp.any(act_blk, axis=1)
+        n_act = jnp.sum(act_blk.astype(jnp.int32))
+        blk_ids, n_blk = compact_indices(blk_any, max_blocks, pb.shape[0] - 1)
+
+        def blocked_compact(_):
+            blk_ok = jnp.arange(max_blocks) < n_blk
+            rows = pb[blk_ids]                           # (MB,32) row gather
+            act2 = (rows != 0) & (rows != 255) & blk_ok[:, None]
+            slots2, n_cubes = compact_indices(act2.reshape(-1),
+                                              cfg.max_cubes, 0)
+            ok = jnp.arange(cfg.max_cubes) < n_cubes
+            case8_u = rows.reshape(-1)[slots2]
+            lane = slots2 % 32
+            bid = blk_ids[slots2 // 32]
+            bx = (bid // (r2 * r3)) * 4 + (lane >> 3)
+            by = ((bid // r3) % r2) * 4 + ((lane >> 1) & 3)
+            bz = (bid % r3) * 2 + (lane & 1)
+            gid_u = (bx * res + by) * res + bz
+            # restore ascending-gid order (block-major interleaves gids
+            # across z-neighbour blocks); edge_gids sortedness depends on it
+            gid_u = jnp.where(ok, gid_u, res * res * res)
+            cube_ids, case8 = jax.lax.sort_key_val(gid_u, case8_u)
+            return cube_ids, case8, n_cubes
+
+        cube_ids, case8, n_cubes = jax.lax.cond(
+            (n_blk <= max_blocks) & (n_act <= cfg.max_cubes),
+            blocked_compact, flat_compact, None)
+    else:
+        cube_ids, case8, n_cubes = flat_compact(None)
     cube_ok = jnp.arange(cfg.max_cubes) < jnp.minimum(n_cubes, cfg.max_cubes)
 
     # in the res³ lattice, a cube's id IS its anchor lattice-point id
@@ -192,7 +245,6 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     cy = (cube_ids // res) % res
     cx = cube_ids // (res * res)
     cpos = jnp.stack([cx, cy, cz], axis=-1)              # (C,3)
-    case8 = packed.reshape(-1)[cube_ids]                 # (C,)
 
     # ---- vertices: the 7 anchored edge classes of each active cube ----
     # crossing test straight from the packed corner-sign byte (no phi gathers)
@@ -208,10 +260,11 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     vcube = slots // 7
     klass = slots % 7
     # global edge ids (anchor_pid·7+class): ascending because cube_ids are
-    # ascending and compaction preserves order; pad the tail with int32 max
-    # so the face searchsorted below stays on a sorted array.
+    # ascending and compaction preserves order; pad the tail with the gid
+    # upper bound res³·7 (must stay < 2**30 for the rank_in_sorted key
+    # packing — holds through res 512) so the array stays sorted.
     edge_gids = jnp.where(vert_valid, cube_ids[vcube] * 7 + klass,
-                          jnp.int32(np.iinfo(np.int32).max))
+                          jnp.int32(res * res * res * 7))
 
     p0 = cpos[vcube]                                     # (V,3) anchor point
     d = jnp.asarray(_EDGE_DIRS)[klass]                   # (V,3)
@@ -252,12 +305,15 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     fcase = tet_case[fcube, ftet]                                  # (MAX_F,)
     ftris = _TRI_TABLE[ftet, fcase, fk]                            # (MAX_F,3)
     ftris = jnp.where(ftris >= 0, ftris, 0)
-    fanch = _EDGE_ANCHOR[ftet[:, None], ftris]                     # (MAX_F,3,3)
-    fklass = _EDGE_CLASS[ftet[:, None], ftris]                     # (MAX_F,3)
-    gpt = cpos[fcube][:, None, :] + fanch                          # lattice point
-    gpid = (gpt[..., 0] * res + gpt[..., 1]) * res + gpt[..., 2]
-    face_geid = gpid * 7 + fklass                                  # (MAX_F,3)
-    vidx = searchsorted1d(edge_gids, face_geid.reshape(-1), side="left")
+    # anchor offset + class folded into ONE 6×6 table of global-edge-id
+    # deltas: geid = (cube_gid + anchor_gid_delta)·7 + class
+    #              = cube_gid·7 + (anchor_gid_delta·7 + class)
+    a = _EDGE_ANCHOR_NP
+    geid_delta = jnp.asarray(
+        ((a[..., 0] * res + a[..., 1]) * res + a[..., 2]) * 7 + _EDGE_CLASS_NP)
+    face_geid = (cube_ids[fcube][:, None] * 7
+                 + geid_delta[ftet[:, None], ftris])               # (MAX_F,3)
+    vidx = rank_in_sorted(edge_gids, face_geid.reshape(-1), side="left")
     faces = jnp.minimum(vidx, cfg.max_verts - 1).reshape(-1, 3)
     face_valid = jnp.arange(cfg.max_faces) < jnp.minimum(n_faces_total, cfg.max_faces)
     faces = jnp.where(face_valid[:, None], faces, 0)

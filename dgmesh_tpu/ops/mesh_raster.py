@@ -76,11 +76,18 @@ def project_verts(verts, pose, proj, cfg: MeshRasterConfig):
 
 
 def _face_screen(xy, w, ok, faces, face_valid):
-    """Gather per-face screen triangles; returns (F,3,2), inv_w (F,3), valid."""
-    f = faces
-    tri = xy[f]                                # (F,3,2)
-    wf = w[f]                                  # (F,3)
-    valid = face_valid & ok[f].all(axis=1)
+    """Gather per-face screen triangles; returns (F,3,2), inv_w (F,3), valid.
+
+    One 4-lane row gather of a packed [xy|w|ok] per-vertex table instead of
+    three separate gathers — TPU gather (and its scatter-add VJP) cost is
+    ~per-index, not per-element.
+    """
+    vs = jnp.concatenate([xy, w[:, None], ok.astype(xy.dtype)[:, None]],
+                         axis=-1)              # (V,4)
+    g = vs[faces]                              # (F,3,4)
+    tri = g[..., 0:2]                          # (F,3,2)
+    wf = g[..., 2]                             # (F,3)
+    valid = face_valid & (g[..., 3] > 0.5).all(axis=1)
     inv_w = 1.0 / jnp.where(wf > 0, wf, 1.0)
     return tri, inv_w, valid
 
@@ -109,7 +116,11 @@ def rasterize(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig):
     bins = bin_rects(tx0, ty0, nx, ny, quantize_depth(depth, fvalid), fvalid,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
                      max_dup=cfg.max_dup, max_per_tile=cfg.max_per_tile)
-    return dict(bins=bins, tri=tri, inv_w=inv_w, fvalid=fvalid, xy=xy, w=w)
+    # packed per-face shading attributes: one row gather per tile slot
+    # downstream (lanes 0..5 screen tri, 6..8 inv_w)
+    pack = jnp.concatenate([tri.reshape(-1, 6), inv_w], axis=-1)
+    return dict(bins=bins, tri=tri, inv_w=inv_w, pack=pack, fvalid=fvalid,
+                xy=xy, w=w)
 
 
 def _tile_pixels(tile_ids, cfg):
@@ -177,8 +188,9 @@ def _shade_chunk(tile_ids, tidx, rast, colors_v, faces, bg, cfg, want_soft):
     P = cfg.tile_h * cfg.tile_w
     gi = jnp.maximum(tidx, 0)                       # (C,K)
     gvalid = tidx >= 0
-    tri = rast["tri"][gi]                           # (C,K,3,2)
-    inv_w = rast["inv_w"][gi]                       # (C,K,3)
+    g = rast["pack"][gi]                            # (C,K,9) one gather
+    tri = g[..., 0:6].reshape(g.shape[:2] + (3, 2))
+    inv_w = g[..., 6:9]                             # (C,K,3)
     px, py = _tile_pixels(tile_ids, cfg)            # (C,P)
 
     bary, area = _bary_2d(tri, px, py)              # (C,K,P,3),(C,K,1)
@@ -243,8 +255,7 @@ def _render_mesh_pallas(rast, faces, vtx_color, bg, cfg: MeshRasterConfig,
     gi = jnp.maximum(tidx, 0)
     gvalid = (tidx >= 0).astype(jnp.float32)
     attrs = jnp.concatenate([
-        rast["tri"][gi].reshape(T, K, 6),            # 0..5 screen tri
-        rast["inv_w"][gi],                           # 6..8
+        rast["pack"][gi],                            # 0..5 screen tri, 6..8 inv_w
         gvalid[..., None],                           # 9
         vtx_color[faces[gi]].reshape(T, K, 9),       # 10..18
         gi[..., None].astype(jnp.float32),           # 19 face index

@@ -200,10 +200,23 @@ def bin_gaussians(pre: dict, cfg: SplatConfig):
     return bins.tile_idx, aux
 
 
-def _composite_chunk(tile_ids, tile_idx_chunk, pre, bg, cfg: SplatConfig):
+def _pack_attrs(pre):
+    """Per-Gaussian compositing attributes as one (N,9) row table.
+
+    TPU gather cost is ~per-index, nearly independent of row width, so one
+    9-lane row gather replaces four separate gathers (and its VJP is ONE
+    segment scatter-add instead of four) — measured 77→~18 ms fwd at bench
+    scale.  Lane layout: 0,1 mean2d | 2-4 conic | 5 opacity | 6-8 color.
+    """
+    return jnp.concatenate([pre["mean2d"], pre["conic"],
+                            pre["opacity"][:, None], pre["color"]], axis=-1)
+
+
+def _composite_chunk(tile_ids, tile_idx_chunk, packed, bg, cfg: SplatConfig):
     """Alpha-composite one chunk of tiles.
 
-    tile_ids: (C,) flat tile indices; tile_idx_chunk: (C,K) Gaussian ids.
+    tile_ids: (C,) flat tile indices; tile_idx_chunk: (C,K) Gaussian ids;
+    packed: (N,9) from _pack_attrs.
     Returns color (C,P,3), alpha (C,P) with P = tile_h*tile_w.
     """
     K = cfg.max_per_tile
@@ -211,10 +224,11 @@ def _composite_chunk(tile_ids, tile_idx_chunk, pre, bg, cfg: SplatConfig):
     gi = jnp.maximum(tile_idx_chunk, 0)                    # (C,K)
     gvalid = tile_idx_chunk >= 0
 
-    mean2d = pre["mean2d"][gi]                             # (C,K,2)
-    conic = pre["conic"][gi]                               # (C,K,3)
-    color = pre["color"][gi]                               # (C,K,3)
-    opac = pre["opacity"][gi]                              # (C,K)
+    ga = packed[gi]                                        # (C,K,9) one gather
+    mean2d = ga[..., 0:2]
+    conic = ga[..., 2:5]
+    opac = ga[..., 5]
+    color = ga[..., 6:9]
 
     ty = tile_ids // cfg.tiles_x
     tx = tile_ids % cfg.tiles_x
@@ -246,11 +260,12 @@ def _composite_chunk(tile_ids, tile_idx_chunk, pre, bg, cfg: SplatConfig):
     return out, 1.0 - t_final
 
 
-def composite_pallas(tile_idx, pre, bg, cfg: SplatConfig):
+def composite_pallas(tile_idx, packed, bg, cfg: SplatConfig):
     """Fused-VMEM compositing via the Pallas kernel (splat_pallas.py).
 
-    Gathers per-tile attributes into the kernel's (T,K,16) layout; backward
-    runs through the jnp twin (same math) with remat.
+    Gathers per-tile attributes into the kernel's (T,K,16) layout with a
+    single row gather of the packed (N,9) table; backward runs through the
+    jnp twin (same math) with remat.
     """
     from .splat_pallas import make_composite_tiles
 
@@ -258,10 +273,7 @@ def composite_pallas(tile_idx, pre, bg, cfg: SplatConfig):
     gi = jnp.maximum(tile_idx, 0)
     gvalid = (tile_idx >= 0).astype(jnp.float32)
     attrs = jnp.concatenate([
-        pre["mean2d"][gi],                       # 0,1
-        pre["conic"][gi],                        # 2,3,4
-        pre["opacity"][gi][..., None],           # 5
-        pre["color"][gi],                        # 6,7,8
+        packed[gi],                              # 0..8 mean2d|conic|opac|color
         gvalid[..., None],                       # 9
         jnp.zeros(gi.shape + (6,)),              # pad → 16 lanes
     ], axis=-1)
@@ -283,8 +295,9 @@ def composite_pallas(tile_idx, pre, bg, cfg: SplatConfig):
 
 def composite(tile_idx, pre, bg, cfg: SplatConfig):
     """Composite all tiles (chunked lax.map), returning full-image tensors."""
+    packed = _pack_attrs(pre)
     if cfg.use_pallas:
-        return composite_pallas(tile_idx, pre, bg, cfg)
+        return composite_pallas(tile_idx, packed, bg, cfg)
     T = cfg.num_tiles
     C = cfg.tile_chunk
     n_chunks = -(-T // C)
@@ -299,7 +312,7 @@ def composite(tile_idx, pre, bg, cfg: SplatConfig):
     @jax.checkpoint
     def body(args):
         tids, tidx = args
-        return _composite_chunk(tids, tidx, pre, bg, cfg)
+        return _composite_chunk(tids, tidx, packed, bg, cfg)
 
     tids = all_tiles.reshape(n_chunks, C)
     tidx = tile_idx_pad.reshape(n_chunks, C, cfg.max_per_tile)

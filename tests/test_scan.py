@@ -4,7 +4,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dgmesh_tpu.ops.scan import cumsum1d, cummax1d, cumsum_cols, searchsorted1d
+from dgmesh_tpu.ops.scan import (cumsum1d, cummax1d, cumsum_cols,
+                                 rank_in_sorted, searchsorted1d)
 
 
 def test_cumsum1d_exact_int32(rng):
@@ -46,6 +47,26 @@ def test_searchsorted1d(rng):
             )(jnp.asarray(a), jnp.asarray(v)))
             ref = np.searchsorted(a, v, side=side)
             np.testing.assert_array_equal(out, ref)
+
+
+def test_rank_in_sorted_matches_searchsorted(rng):
+    for n, m in ((1, 64), (1000, 1), (4096, 10_000)):
+        a = np.sort(rng.integers(0, 2 ** 29, n).astype(np.int32))
+        v = rng.integers(0, 2 ** 29, m).astype(np.int32)
+        for side in ("left", "right"):
+            out = np.asarray(jax.jit(
+                lambda a_, v_, s=side: rank_in_sorted(a_, v_, side=s)
+            )(jnp.asarray(a), jnp.asarray(v)))
+            np.testing.assert_array_equal(out, np.searchsorted(a, v, side=side))
+
+
+def test_rank_in_sorted_keeps_query_shape(rng):
+    a = np.sort(rng.integers(0, 1000, 64).astype(np.int32))
+    v = rng.integers(0, 1000, (17, 3)).astype(np.int32)
+    out = np.asarray(rank_in_sorted(jnp.asarray(a), jnp.asarray(v)))
+    assert out.shape == (17, 3)
+    np.testing.assert_array_equal(out.reshape(-1),
+                                  np.searchsorted(a, v.reshape(-1)))
 
 
 def test_searchsorted1d_duplicates_and_bounds():
