@@ -126,8 +126,20 @@ class TpuParams:
                                           # under the Gaussian low-pass)
     mlp_bf16: bool = False                # bf16 trunk matmuls in the deform/
                                           # appearance MLPs (params + heads f32)
+    mlp_chunk: int = 0                    # rows per lax.map chunk for the big
+                                          # MLP applies (0 = unchunked).
+                                          # Measured on v5e at bench scale:
+                                          # chunking LOSES (16k: 96 ms, 64k:
+                                          # 125 ms vs ~60 ms unchunked) — the
+                                          # scan serializes and defeats XLA's
+                                          # HBM/matmul pipelining; keep 0
     dpsr_fft_matmul: bool = False         # MXU matmul-DFT Poisson solve (fast
                                           # on TPU; needs dpsr_div_splat)
+    mt_narrow_band: bool = False          # narrow-band marching-tets cube
+                                          # compaction (exact lax.cond
+                                          # fallback); ~50 ms/step faster on
+                                          # clean surfaces, ~35 ms/step slower
+                                          # on saturated/noisy fields
 
 
 _GROUPS = {

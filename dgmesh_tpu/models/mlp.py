@@ -176,6 +176,32 @@ class AppearanceNetwork(nn.Module):
         return jax.nn.sigmoid(rgb)
 
 
+def chunked_apply(apply_fn, params, x, t, chunk: int = 0):
+    """Apply a row-wise network in VMEM-sized row chunks under lax.map.
+
+    A (262144, 256) trunk activation is ~134 MB — every Dense layer of an
+    unchunked apply round-trips it through HBM, making the 8×256 MLPs
+    memory-bound (~10x off MXU speed-of-light).  Mapping over row chunks
+    keeps the whole trunk resident in VMEM (weights are ~1 MB), so HBM
+    traffic shrinks to the network's input and output.  Each chunk is
+    checkpointed: the backward recomputes chunk-by-chunk with the same
+    locality.  Identical math to jax.checkpoint(apply_fn) — row-wise
+    networks have no cross-row interaction.
+    """
+    if not chunk or x.shape[0] <= chunk:
+        return jax.checkpoint(apply_fn)(params, x, t)
+    n = x.shape[0]
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        t = jnp.pad(t, ((0, pad), (0, 0)))
+    body = jax.checkpoint(lambda a: apply_fn(params, a[0], a[1]))
+    out = jax.lax.map(body, (x.reshape(nc, chunk, -1),
+                             t.reshape(nc, chunk, -1)))
+    return jax.tree.map(lambda o: o.reshape(nc * chunk, *o.shape[2:])[:n], out)
+
+
 def init_deform_params(key, module: nn.Module, n_points: int = 8):
     xyz = jnp.zeros((n_points, 3))
     t = jnp.zeros((n_points, 1))

@@ -141,11 +141,15 @@ class MTConfig(NamedTuple):
     max_verts: int
     max_faces: int
     max_cubes: int
-    # narrow-band block compaction: capacity of 4×4×2-cube blocks touching
-    # the surface (0 → max_cubes // 4; smooth surfaces average ≥8 active
-    # cubes per active block, so this is generous).  Only used when res is
-    # divisible by 4 — otherwise the flat res³ compaction path runs.
+    # narrow-band block compaction: capacity of 16-cube z-run blocks touching
+    # the surface (0 → max_cubes // 2).  Only used when enabled AND res is
+    # divisible by 16 — otherwise the flat res³ compaction path runs.
+    # Overflow never truncates: a lax.cond falls back to the flat path.
+    # Trade-off measured on v5e at 288³: clean surfaces ~50 ms faster; a
+    # saturated/noisy field pays ~35 ms cond+reduce overhead — so enable it
+    # for real training configs, not for worst-case benchmarking.
     max_blocks: int = 0
+    use_narrow_band: bool = False
 
 
 class MeshResult(NamedTuple):
@@ -195,42 +199,38 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
                                             cfg.max_cubes, res * res * res)
         return cube_ids, packed.reshape(-1)[cube_ids], n_cubes
 
-    if res % 4 == 0:
-        # Narrow-band fast path: compact 4×4×2 blocks first (one cheap
-        # reduce over a block-major relayout), then row-gather ONLY surface
-        # blocks and scatter-compact their 32·max_blocks cubes — no binary
-        # search of the res³ universe (74 ms → ~20 ms at 288³ on v5e).
+    if cfg.use_narrow_band and res % 16 == 0:
+        # Narrow-band fast path: blocks are z-runs of 16 cubes — a pure
+        # reshape of `packed` (no relayout copy), and block-major order IS
+        # ascending-gid order, so no re-sort either.  Compact surface blocks
+        # (one cheap reduce + small scatter), row-gather ONLY those, and
+        # scatter-compact their 16·max_blocks cubes — no binary search of
+        # the res³ universe (74 ms → ~25 ms at 288³ on v5e).
         # A lax.cond falls back to the exact flat compaction whenever the
         # block capacity would truncate (noisy fields early in training) or
         # the cube capacity saturates (subset choice must match flat) — so
         # this path NEVER changes results, only speed.
-        r1, r2, r3 = res // 4, res // 4, res // 2
-        max_blocks = cfg.max_blocks or max(cfg.max_cubes // 4, 1024)
-        pb = packed.reshape(r1, 4, r2, 4, r3, 2).transpose(0, 2, 4, 1, 3, 5)
-        pb = pb.reshape(-1, 32)                          # (NB,32) block-major
+        max_blocks = cfg.max_blocks or max(cfg.max_cubes // 2, 1024)
+        pb = packed.reshape(-1, 16)                      # (NB,16) = gid order
         act_blk = (pb != 0) & (pb != 255)
         blk_any = jnp.any(act_blk, axis=1)
+        # the cond predicate needs only COUNTS (cheap fused reduces); the
+        # block compaction itself runs inside the taken branch so the
+        # saturated fallback pays almost nothing for the fast path's existence
         n_act = jnp.sum(act_blk.astype(jnp.int32))
-        blk_ids, n_blk = compact_indices(blk_any, max_blocks, pb.shape[0] - 1)
+        n_blk = jnp.sum(blk_any.astype(jnp.int32))
 
         def blocked_compact(_):
+            blk_ids, _ = compact_indices(blk_any, max_blocks, pb.shape[0] - 1)
             blk_ok = jnp.arange(max_blocks) < n_blk
-            rows = pb[blk_ids]                           # (MB,32) row gather
+            rows = pb[blk_ids]                           # (MB,16) row gather
             act2 = (rows != 0) & (rows != 255) & blk_ok[:, None]
             slots2, n_cubes = compact_indices(act2.reshape(-1),
                                               cfg.max_cubes, 0)
             ok = jnp.arange(cfg.max_cubes) < n_cubes
-            case8_u = rows.reshape(-1)[slots2]
-            lane = slots2 % 32
-            bid = blk_ids[slots2 // 32]
-            bx = (bid // (r2 * r3)) * 4 + (lane >> 3)
-            by = ((bid // r3) % r2) * 4 + ((lane >> 1) & 3)
-            bz = (bid % r3) * 2 + (lane & 1)
-            gid_u = (bx * res + by) * res + bz
-            # restore ascending-gid order (block-major interleaves gids
-            # across z-neighbour blocks); edge_gids sortedness depends on it
-            gid_u = jnp.where(ok, gid_u, res * res * res)
-            cube_ids, case8 = jax.lax.sort_key_val(gid_u, case8_u)
+            case8 = rows.reshape(-1)[slots2]
+            gid = blk_ids[slots2 // 16] * 16 + slots2 % 16
+            cube_ids = jnp.where(ok, gid, res * res * res)
             return cube_ids, case8, n_cubes
 
         cube_ids, case8, n_cubes = jax.lax.cond(

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..models import gaussians as G
 from ..models import mlp
+from ..models.mlp import chunked_apply
 from ..ops import losses as L
 from ..ops import splat
 from ..ops.dpsr import DPSR
@@ -82,7 +83,8 @@ class StepContext:
             tile_chunk=t.tile_chunk, use_pallas=t.use_pallas)
         self.mt_cfg = MTConfig(res=cfg.model.grid_res, max_verts=t.max_verts,
                                max_faces=t.max_faces,
-                               max_cubes=max(t.max_verts, t.max_faces // 2))
+                               max_cubes=max(t.max_verts, t.max_faces // 2),
+                               use_narrow_band=t.mt_narrow_band)
         self.dpsr = DPSR((cfg.model.grid_res,) * 3, sig=cfg.optimization.dpsr_sig,
                          div_mode="splat" if t.dpsr_div_splat else "spectral",
                          fft_impl="matmul" if t.dpsr_fft_matmul else "xla")
@@ -97,12 +99,14 @@ def _deform_all(ctx: StepContext, nets, xyz, fid, noise, flags: StepFlags):
     if flags.warm:
         z3 = jnp.zeros((M, 3))
         return z3, jnp.zeros((M, 4)), z3, z3
-    # remat: 8×256 MLP activations over M points are GBs at full scale
-    d_xyz, d_rot, d_scale, _ = jax.checkpoint(ctx.nets_def.deform.apply)(
-        nets.deform, xyz_sg, t_in)
+    # chunked + remat: keeps trunk activations VMEM-resident AND bounds
+    # backward memory (unchunked 8×256 activations over M points are GBs)
+    ch = ctx.cfg.tpu.mlp_chunk
+    d_xyz, d_rot, d_scale, _ = chunked_apply(
+        ctx.nets_def.deform.apply, nets.deform, xyz_sg, t_in, ch)
     if flags.use_normal:
-        d_normal = jax.checkpoint(ctx.nets_def.deform_normal.apply)(
-            nets.deform_normal, xyz_sg, t_in)
+        d_normal = chunked_apply(ctx.nets_def.deform_normal.apply,
+                                 nets.deform_normal, xyz_sg, t_in, ch)
     else:
         d_normal = jnp.zeros((M, 3))
     return d_xyz, d_rot, d_scale, d_normal
@@ -131,11 +135,13 @@ def _mesh_colors(ctx: StepContext, nets, verts_w, vert_valid, fid):
     """deform_back to canonical + appearance colors (renderer.py:177-181)."""
     V = verts_w.shape[0]
     t_in = jnp.full((V, 1), fid)
-    d_back, _, _, _ = jax.checkpoint(ctx.nets_def.deform_back.apply)(
-        nets.deform_back, jax.lax.stop_gradient(verts_w), t_in)
+    ch = ctx.cfg.tpu.mlp_chunk
+    d_back, _, _, _ = chunked_apply(ctx.nets_def.deform_back.apply,
+                                    nets.deform_back,
+                                    jax.lax.stop_gradient(verts_w), t_in, ch)
     canon = verts_w + d_back
-    color = jax.checkpoint(ctx.nets_def.appearance.apply)(
-        nets.appearance, canon, t_in)
+    color = chunked_apply(ctx.nets_def.appearance.apply,
+                          nets.appearance, canon, t_in, ch)
     return jnp.where(vert_valid[:, None], color, 0.0)
 
 
@@ -176,9 +182,9 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
     # --- cycle consistency (train.py:198-240) ---
     if not flags.warm:
         M_t = jnp.full((M, 1), batch.fid) + noise2
-        d_back, d_rot_back, d_scale_back, _ = jax.checkpoint(
-            ctx.nets_def.deform_back.apply)(
-            nets.deform_back, jax.lax.stop_gradient(means3d), M_t)
+        d_back, d_rot_back, d_scale_back, _ = chunked_apply(
+            ctx.nets_def.deform_back.apply, nets.deform_back,
+            jax.lax.stop_gradient(means3d), M_t, ctx.cfg.tpu.mlp_chunk)
 
         def masked_l1(a, b):
             diff = jnp.where(gs.alive[:, None], a - b, 0.0)
@@ -188,8 +194,9 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
         cyc_r = masked_l1(-d_rot_back, d_rot)
         cyc_s = masked_l1(-d_scale_back, d_scale)
         if flags.use_normal:
-            d_normal_back = ctx.nets_def.deform_back_normal.apply(
-                nets.deform_back_normal, jax.lax.stop_gradient(gp.xyz), M_t)
+            d_normal_back = chunked_apply(
+                ctx.nets_def.deform_back_normal.apply, nets.deform_back_normal,
+                jax.lax.stop_gradient(gp.xyz), M_t, ctx.cfg.tpu.mlp_chunk)
             cyc_n = masked_l1(-d_normal_back, d_normal)
             losses["cycle_loss"] = (cyc_x + cyc_r + cyc_s + cyc_n) / 4.0
         else:

@@ -162,3 +162,32 @@ def test_config_save_load(tmp_path):
     cfg.save(path)
     cfg2 = Config.load(path)
     assert cfg2.model.sh_degree == 2
+
+
+def test_chunked_apply_matches_unchunked(rng):
+    import jax
+    import jax.numpy as jnp
+    from dgmesh_tpu.models.mlp import DeformNetwork, chunked_apply
+
+    net = DeformNetwork(depth=3, width=32, multires=4, is_blender=False)
+    x = jnp.asarray(rng.normal(size=(103, 3)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(103, 1)).astype(np.float32))
+    params = net.init(jax.random.PRNGKey(0), x[:8], t[:8])
+    ref = net.apply(params, x, t)
+    out = chunked_apply(net.apply, params, x, t, chunk=16)  # 103 → 7 chunks
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+    # gradients flow to params and inputs identically
+    def loss_ref(p, xx):
+        return sum(jnp.sum(o ** 2) for o in net.apply(p, xx, t))
+
+    def loss_chk(p, xx):
+        return sum(jnp.sum(o ** 2)
+                   for o in chunked_apply(net.apply, p, xx, t, chunk=16))
+
+    g1 = jax.grad(loss_ref, argnums=(0, 1))(params, x)
+    g2 = jax.grad(loss_chk, argnums=(0, 1))(params, x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5), g1, g2)

@@ -14,7 +14,8 @@ def sphere_field(res, center=0.5, radius=0.3):
     return np.sqrt((x - center) ** 2 + (y - center) ** 2 + (z - center) ** 2) - radius
 
 
-CFG = MTConfig(res=32, max_verts=8192, max_faces=16384, max_cubes=8192)
+CFG = MTConfig(res=32, max_verts=8192, max_faces=16384, max_cubes=8192,
+               use_narrow_band=True)
 
 
 def test_sphere_verts_on_surface():
@@ -95,31 +96,28 @@ def test_empty_field():
 
 
 def test_flat_vs_blocked_compaction_identical():
-    """res=36 (blocked, 36%4==0) vs res=35 flat path sanity + a direct
-    equivalence: the blocked narrow-band compaction must emit exactly the
-    same mesh (same vertex order) as the flat res³ path."""
-    # flat path (res not divisible by 4) still watertight on a sphere
+    """The narrow-band blocked compaction must emit exactly the same mesh
+    (same vertex order) as the flat res³ path, and the flat path must stay
+    correct at a res where blocking is unavailable (res % 16 != 0)."""
+    phi = jnp.asarray(sphere_field(32), jnp.float32)
+    flat = MTConfig(res=32, max_verts=8192, max_faces=16384, max_cubes=8192,
+                    use_narrow_band=False)
+    m_f = marching_tets(phi, flat)
+    m_b = marching_tets(phi, CFG)          # CFG has use_narrow_band=True
+    assert int(m_f.n_verts) == int(m_b.n_verts)
+    assert int(m_f.n_faces) == int(m_b.n_faces)
+    np.testing.assert_array_equal(np.asarray(m_f.faces), np.asarray(m_b.faces))
+    np.testing.assert_allclose(np.asarray(m_f.verts), np.asarray(m_b.verts))
+
+    # flat path at a non-divisible res still watertight on a sphere
     phi35 = jnp.asarray(sphere_field(35), jnp.float32)
-    cfg35 = MTConfig(res=35, max_verts=8192, max_faces=16384, max_cubes=8192)
+    cfg35 = MTConfig(res=35, max_verts=8192, max_faces=16384, max_cubes=8192,
+                     use_narrow_band=True)  # requested but res forces flat
     m35 = marching_tets(phi35, cfg35)
     assert int(m35.overflow) == 0
     nv = int(m35.n_verts)
     r = np.linalg.norm(np.asarray(m35.verts)[:nv] - 0.5, axis=1)
     np.testing.assert_allclose(r, 0.3, atol=2e-2)
-
-    # equivalence at a blocked-capable res: force the flat path by lying
-    # about divisibility via a monkeypatched cfg is not possible, so compare
-    # against an upsampled flat run of the same field instead: res=36 blocked
-    # output must match brute-force numpy reconstruction of vertex count
-    phi36 = jnp.asarray(sphere_field(36), jnp.float32)
-    cfg36 = MTConfig(res=36, max_verts=8192, max_faces=16384, max_cubes=8192)
-    m36 = marching_tets(phi36, cfg36)
-    assert int(m36.overflow) == 0
-    f = np.asarray(m36.faces)[:int(m36.n_faces)]
-    edges = np.sort(np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]),
-                    axis=1)
-    _, counts = np.unique(edges, axis=0, return_counts=True)
-    assert (counts == 2).all()
 
 
 def test_block_overflow_falls_back_to_exact_flat_path():
@@ -128,9 +126,9 @@ def test_block_overflow_falls_back_to_exact_flat_path():
     is a speed path, never a truncation."""
     phi = jnp.asarray(sphere_field(32), jnp.float32)
     tiny = MTConfig(res=32, max_verts=8192, max_faces=16384, max_cubes=8192,
-                    max_blocks=16)      # sphere touches far more blocks
+                    max_blocks=16, use_narrow_band=True)  # overflows → fallback
     big = MTConfig(res=32, max_verts=8192, max_faces=16384, max_cubes=8192,
-                   max_blocks=4096)
+                   max_blocks=4096, use_narrow_band=True)
     m_t = marching_tets(phi, tiny)
     m_b = marching_tets(phi, big)
     assert int(m_t.n_verts) == int(m_b.n_verts)
