@@ -65,6 +65,7 @@ def main():
     t.dpsr_div_splat = True
     t.dpsr_fft_matmul = True
     t.mlp_bf16 = True
+    t.mlp_fused = False
 
     rng = np.random.default_rng(0)
     d = rng.normal(size=(N_GAUSS, 3))

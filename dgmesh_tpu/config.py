@@ -126,6 +126,9 @@ class TpuParams:
                                           # under the Gaussian low-pass)
     mlp_bf16: bool = False                # bf16 trunk matmuls in the deform/
                                           # appearance MLPs (params + heads f32)
+    mlp_fused: bool = False               # Pallas fused MLP trunk (VMEM-
+                                          # resident 8x256 stack; needs
+                                          # mlp_bf16; see ops/mlp_pallas.py)
     mlp_chunk: int = 0                    # rows per lax.map chunk for the big
                                           # MLP applies (0 = unchunked).
                                           # Measured on v5e at bench scale:

@@ -35,6 +35,70 @@ def positional_encoding(x, num_freqs: int, include_input: bool = True):
     return enc
 
 
+class MLPTrunk(nn.Module):
+    """The shared depth×width ReLU trunk with input-skip concat at depth//2.
+
+    Parameters are explicit (w0..w{depth-1}, b0..) so the SAME weights drive
+    either the layer-by-layer XLA path or the Pallas fused kernel
+    (ops/mlp_pallas.py) — the fused path keeps the whole trunk VMEM-resident
+    per row block instead of round-tripping every (N,256) activation through
+    HBM.  Fusing activates only for width=256 + bf16 (the TPU configuration);
+    results agree to bf16 rounding.
+    """
+
+    depth: int = 8
+    width: int = 256
+    dtype: object = None
+    fuse: bool = False
+
+    @nn.compact
+    def __call__(self, inp):
+        depth, width = self.depth, self.width
+        skip = depth // 2
+        din = inp.shape[-1]
+        kinit = nn.initializers.lecun_normal()
+        ws, bs = [], []
+        for i in range(depth):
+            d_in = din if i == 0 else width
+            if i == skip + 1:
+                d_in += din            # rows [0:din]=input part, [din:]=h part
+            ws.append(self.param(f"w{i}", kinit, (d_in, width)))
+            bs.append(self.param(f"b{i}", nn.initializers.zeros, (width,)))
+
+        if (self.fuse and width == 256 and din <= width
+                and self.dtype == jnp.bfloat16):
+            from ..ops.mlp_pallas import fused_trunk
+            pad = width - din
+            xp = jnp.pad(inp, ((0, 0), (0, pad)))
+            mats = []
+            for i in range(depth):
+                k = ws[i]
+                if i == 0:
+                    k = jnp.pad(k, ((0, pad), (0, 0)))
+                elif i == skip + 1:
+                    k = k[din:]
+                mats.append(k)
+            wx = jnp.pad(ws[skip + 1][:din], ((0, pad), (0, 0)))
+            wpack = jnp.stack(mats + [wx])
+            bpack = jnp.stack(bs)
+            return fused_trunk(xp.astype(jnp.float32), wpack, bpack,
+                               depth, skip)
+
+        dt = self.dtype
+
+        def dense(x_in, k, b):
+            if dt is not None:
+                x_in, k, b = x_in.astype(dt), k.astype(dt), b.astype(dt)
+            return x_in @ k + b
+
+        h = inp
+        for i in range(depth):
+            x_in = h if i != skip + 1 else jnp.concatenate(
+                [inp.astype(h.dtype), h], axis=-1)
+            h = nn.relu(dense(x_in, ws[i], bs[i]))
+        return h.astype(jnp.float32)
+
+
 class DeformNetwork(nn.Module):
     """Canonical↔deformed offset field (reference: time_utils.py:58-129).
 
@@ -52,6 +116,8 @@ class DeformNetwork(nn.Module):
     # jnp.bfloat16 to run them on the MXU at 2x rate — heads and outputs are
     # always float32.
     dtype: object = None
+    # Run the trunk through the Pallas fused kernel (requires bf16 dtype).
+    fuse: bool = False
     # Zero-init the offset heads so deformation starts at identity.  The
     # reference uses default Linear init (a visible PSNR shock when the warm-up
     # gate opens, train.py:154-175, recovered over thousands of iters); the
@@ -74,14 +140,8 @@ class DeformNetwork(nn.Module):
             t_emb = nn.Dense(30, dtype=self.dtype)(h)
         x_emb = positional_encoding(xyz, self.multires)
         inp = jnp.concatenate([x_emb, t_emb.astype(x_emb.dtype)], axis=-1)
-        skip = self.depth // 2
-        h = inp
-        for i in range(self.depth):
-            h = nn.Dense(self.width, dtype=self.dtype)(h)
-            h = nn.relu(h)
-            if i == skip:
-                h = jnp.concatenate([inp, h], axis=-1)
-        h = h.astype(jnp.float32)
+        h = MLPTrunk(depth=self.depth, width=self.width, dtype=self.dtype,
+                     fuse=self.fuse)(inp)
         if self.is_6dof:
             # screw-motion head (reference time_utils.py:100-124): the caller
             # treats d_xyz as the SE(3)-transformed position delta is NOT
@@ -118,6 +178,7 @@ class DeformNetworkNormalSep(nn.Module):
     multires: int = 10
     is_blender: bool = False
     dtype: object = None
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, xyz, t):
@@ -129,14 +190,8 @@ class DeformNetworkNormalSep(nn.Module):
             t_emb = nn.Dense(30, dtype=self.dtype)(h)
         x_emb = positional_encoding(xyz, self.multires)
         inp = jnp.concatenate([x_emb, t_emb.astype(x_emb.dtype)], axis=-1)
-        skip = self.depth // 2
-        h = inp
-        for i in range(self.depth):
-            h = nn.Dense(self.width, dtype=self.dtype)(h)
-            h = nn.relu(h)
-            if i == skip:
-                h = jnp.concatenate([inp, h], axis=-1)
-        h = h.astype(jnp.float32)
+        h = MLPTrunk(depth=self.depth, width=self.width, dtype=self.dtype,
+                     fuse=self.fuse)(inp)
         d_normal = nn.Dense(3, kernel_init=nn.initializers.zeros,
                             bias_init=nn.initializers.zeros)(h)
         return d_normal
@@ -153,6 +208,7 @@ class AppearanceNetwork(nn.Module):
     multires: int = 10
     is_blender: bool = False
     dtype: object = None
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, xyz, t):
@@ -164,14 +220,8 @@ class AppearanceNetwork(nn.Module):
             t_emb = nn.Dense(30, dtype=self.dtype)(h)
         x_emb = positional_encoding(xyz, self.multires)
         inp = jnp.concatenate([x_emb, t_emb.astype(x_emb.dtype)], axis=-1)
-        skip = self.depth // 2
-        h = inp
-        for i in range(self.depth):
-            h = nn.Dense(self.width, dtype=self.dtype)(h)
-            h = nn.relu(h)
-            if i == skip:
-                h = jnp.concatenate([inp, h], axis=-1)
-        h = h.astype(jnp.float32)
+        h = MLPTrunk(depth=self.depth, width=self.width, dtype=self.dtype,
+                     fuse=self.fuse)(inp)
         rgb = nn.Dense(3)(h)
         return jax.nn.sigmoid(rgb)
 
@@ -188,6 +238,11 @@ def chunked_apply(apply_fn, params, x, t, chunk: int = 0):
     locality.  Identical math to jax.checkpoint(apply_fn) — row-wise
     networks have no cross-row interaction.
     """
+    if chunk == -1:
+        # fused-trunk mode: the trunk's custom_vjp already recomputes in its
+        # own backward kernel with tiny residuals, so wrapping the apply in
+        # jax.checkpoint would only run the forward kernels twice.
+        return apply_fn(params, x, t)
     if not chunk or x.shape[0] <= chunk:
         return jax.checkpoint(apply_fn)(params, x, t)
     n = x.shape[0]

@@ -76,6 +76,10 @@ def laplacian_uniform(verts, faces, face_valid):
 
 def _laplacian_fwd_impl(verts, faces, face_valid):
     V = verts.shape[0]
+    # per-directed-edge stream (6F): a 3F per-face-corner variant with the
+    # neighbour SUMS riding a 6-payload sort measured SLOWER on v5e (multi-
+    # payload compare-exchange cost outweighs the halved stream); keep the
+    # 2-array sort + one row gather.
     e = _face_edges(faces)                        # (3F,2)
     valid3 = jnp.repeat(face_valid, 3)
     # both directions: key = endpoint, other = neighbor

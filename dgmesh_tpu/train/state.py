@@ -55,14 +55,17 @@ def build_nets(cfg: Config):
     is_b = cfg.model.is_blender
     is_6 = cfg.model.is_6dof
     dt = jnp.bfloat16 if cfg.tpu.mlp_bf16 else None
+    fu = bool(cfg.tpu.mlp_fused and cfg.tpu.mlp_bf16)
     return NetParams(
         deform=mlp.DeformNetwork(is_blender=is_b, with_normal=True, is_6dof=is_6,
-                                 dtype=dt),
-        deform_normal=mlp.DeformNetworkNormalSep(is_blender=is_b, dtype=dt),
+                                 dtype=dt, fuse=fu),
+        deform_normal=mlp.DeformNetworkNormalSep(is_blender=is_b, dtype=dt,
+                                                 fuse=fu),
         deform_back=mlp.DeformNetwork(is_blender=is_b, with_normal=True, is_6dof=is_6,
-                                      dtype=dt),
-        deform_back_normal=mlp.DeformNetworkNormalSep(is_blender=is_b, dtype=dt),
-        appearance=mlp.AppearanceNetwork(is_blender=is_b, dtype=dt),
+                                      dtype=dt, fuse=fu),
+        deform_back_normal=mlp.DeformNetworkNormalSep(is_blender=is_b, dtype=dt,
+                                                      fuse=fu),
+        appearance=mlp.AppearanceNetwork(is_blender=is_b, dtype=dt, fuse=fu),
     )
 
 

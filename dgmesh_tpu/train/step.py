@@ -85,6 +85,11 @@ class StepContext:
                                max_faces=t.max_faces,
                                max_cubes=max(t.max_verts, t.max_faces // 2),
                                use_narrow_band=t.mt_narrow_band)
+        # NB: the jax.checkpoint wrapper stays on even with the fused trunk
+        # (it double-runs the cheap fwd kernel, but removing the remat
+        # boundary made XLA re-materialize unrelated DPSR ops — measured
+        # +80 ms/step)
+        self.mlp_chunk = t.mlp_chunk
         self.dpsr = DPSR((cfg.model.grid_res,) * 3, sig=cfg.optimization.dpsr_sig,
                          div_mode="splat" if t.dpsr_div_splat else "spectral",
                          fft_impl="matmul" if t.dpsr_fft_matmul else "xla")
@@ -101,7 +106,7 @@ def _deform_all(ctx: StepContext, nets, xyz, fid, noise, flags: StepFlags):
         return z3, jnp.zeros((M, 4)), z3, z3
     # chunked + remat: keeps trunk activations VMEM-resident AND bounds
     # backward memory (unchunked 8×256 activations over M points are GBs)
-    ch = ctx.cfg.tpu.mlp_chunk
+    ch = ctx.mlp_chunk
     d_xyz, d_rot, d_scale, _ = chunked_apply(
         ctx.nets_def.deform.apply, nets.deform, xyz_sg, t_in, ch)
     if flags.use_normal:
@@ -135,7 +140,7 @@ def _mesh_colors(ctx: StepContext, nets, verts_w, vert_valid, fid):
     """deform_back to canonical + appearance colors (renderer.py:177-181)."""
     V = verts_w.shape[0]
     t_in = jnp.full((V, 1), fid)
-    ch = ctx.cfg.tpu.mlp_chunk
+    ch = ctx.mlp_chunk
     d_back, _, _, _ = chunked_apply(ctx.nets_def.deform_back.apply,
                                     nets.deform_back,
                                     jax.lax.stop_gradient(verts_w), t_in, ch)
@@ -184,7 +189,7 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
         M_t = jnp.full((M, 1), batch.fid) + noise2
         d_back, d_rot_back, d_scale_back, _ = chunked_apply(
             ctx.nets_def.deform_back.apply, nets.deform_back,
-            jax.lax.stop_gradient(means3d), M_t, ctx.cfg.tpu.mlp_chunk)
+            jax.lax.stop_gradient(means3d), M_t, ctx.mlp_chunk)
 
         def masked_l1(a, b):
             diff = jnp.where(gs.alive[:, None], a - b, 0.0)
@@ -196,7 +201,7 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
         if flags.use_normal:
             d_normal_back = chunked_apply(
                 ctx.nets_def.deform_back_normal.apply, nets.deform_back_normal,
-                jax.lax.stop_gradient(gp.xyz), M_t, ctx.cfg.tpu.mlp_chunk)
+                jax.lax.stop_gradient(gp.xyz), M_t, ctx.mlp_chunk)
             cyc_n = masked_l1(-d_normal_back, d_normal)
             losses["cycle_loss"] = (cyc_x + cyc_r + cyc_s + cyc_n) / 4.0
         else:
