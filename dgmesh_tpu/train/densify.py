@@ -194,6 +194,12 @@ def anchor_step(cfg: Config, nets_def, gp: GaussianParams, gs: GaussianStats,
     pre_alive = gs.alive
     topn = 2  # reference anchor_topn default; merge logic below is topn=2
 
+    # anchoring compares deformed positions against anchor_search_radius
+    # (~1.5e-3): bf16 trunk rounding (~4e-3 position error) would mark most
+    # Gaussians as far-from-every-face and mass-prune them (measured: alive
+    # 2615→1083, test PSNR −4 dB) — force f32 nets for the anchor applies.
+    nets_def = type(nets_def)(*[m.clone(dtype=None) for m in nets_def])
+
     t_in = jnp.full((M, 1), fid)
     d_xyz, d_rot, d_scale, d_norm = nets_def.deform.apply(nets.deform, gp.xyz, t_in)
     gpts = gp.xyz + d_xyz

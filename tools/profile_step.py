@@ -59,7 +59,7 @@ def build_step():
     t.use_pallas = True
     t.dpsr_div_splat = True
     t.dpsr_fft_matmul = True
-    t.mlp_bf16 = True
+    t.mlp_bf16 = False
     t.mlp_fused = False
 
     rng = np.random.default_rng(0)
