@@ -36,6 +36,9 @@ class ModelParams:
     is_6dof: bool = False
     data_type: str = ""  # "", "Nerfies", "iPhone", "NeuralActor", "finetune-nerf", "DTU", "PlenopticVideo"
     nerfies_ratio: float = 0.5
+    downsample: float = 1.0   # image downsample ratio (arguments/__init__.py:66)
+    pretrain_mesh_path: str = ""        # finetune-nerf GT mesh dirs (:83-84)
+    pretrain_mesh_path_test: str = ""
     load2gpu_on_the_fly: bool = False
     grid_res: int = 256
     gaussian_ratio: float = 1.5
@@ -71,6 +74,13 @@ class OptimizationParams:
     rotation_lr: float = 1e-3
     normal_lr: float = 1e-3
     density_thres_lr: float = 0.01
+    # appearance-MLP LR schedule; the "apperance" spelling matches the
+    # reference's field names (arguments/__init__.py:115-118) so reference
+    # YAMLs (e.g. iphone/tiger.yaml) apply unchanged
+    apperance_lr_init: float = 1.6e-4
+    apperance_lr_final: float = 1.6e-6
+    apperance_lr_delay_mult: float = 0.01
+    apperance_lr_max_steps: int = 40_000
     lambda_dssim: float = 0.2
     densification_interval: int = 100
     opacity_reset_interval: int = 3_000

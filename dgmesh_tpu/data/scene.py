@@ -98,14 +98,27 @@ class Scene:
         path = cfg.model.source_path
         stype = detect_scene_type(path, cfg.model.data_type)
         reader = SCENE_READERS[stype]
+        # per-type reader args, mirroring reference scene/__init__.py:47-85
+        m = cfg.model
         kwargs = {}
-        if stype in ("Blender",):
-            kwargs = dict(white_background=cfg.model.white_background,
-                          max_frames=max_frames)
+        if stype == "Blender":
+            kwargs = dict(white_background=m.white_background,
+                          max_frames=max_frames, downsample=m.downsample)
         elif stype == "Colmap":
-            kwargs = dict(images=cfg.model.images,
-                          white_background=cfg.model.white_background,
-                          eval_split=cfg.model.eval)
+            kwargs = dict(images=m.images,
+                          white_background=m.white_background,
+                          eval_split=m.eval)
+        elif stype == "nerfies":
+            kwargs = dict(white_background=m.white_background,
+                          eval_split=m.eval, nerfies_ratio=m.nerfies_ratio)
+        elif stype in ("iPhone", "NeuralActor"):
+            kwargs = dict(white_background=m.white_background, eval_split=m.eval)
+        elif stype == "finetune-nerf":
+            kwargs = dict(white_background=m.white_background, eval_split=m.eval,
+                          downsample=m.downsample,
+                          mesh_path=m.pretrain_mesh_path or None,
+                          mesh_path_test=m.pretrain_mesh_path_test or None,
+                          max_frames=max_frames)
         self.info: SceneInfo = reader(path, **kwargs)
         if cfg.model.resolution not in (1, None):
             self.info.train_cameras[:] = apply_resolution_policy(

@@ -1,10 +1,10 @@
 """Held-out evaluation: render GS + mesh on test cameras, compute metrics.
 
 reference: train.py testing() :559-760 — per test camera: deform → GS render +
-mesh render → PSNR / SSIM / MS-SSIM (LPIPS requires pretrained VGG/Alex
-weights that cannot be downloaded in this environment; reported as NaN unless
-a weights file is supplied — see eval/lpips_jax.py), image dumps, per-frame
-mesh export, fps.
+mesh render → PSNR / SSIM / MS-SSIM / LPIPS(alex,vgg) ×{GS,mesh} (LPIPS
+columns appear automatically when converted weights are present — this
+environment has no egress, see eval/lpips_jax.py for the offline conversion
+step), image dumps, per-frame mesh export, fps.
 """
 
 from __future__ import annotations
@@ -132,8 +132,16 @@ def run_testing(cfg: Config, trainer, scene, save_dir: str = None,
     sh_degree = cfg.model.sh_degree
     fn = jax.jit(lambda st, b: render_frame(ctx, st, b, sh_degree, with_mesh))
 
+    # LPIPS alex+vgg for GS and mesh renders when converted weights exist
+    # (reference train.py:646-697 + utils/metric_utils.py:18-23)
+    from .lpips_jax import lpips_available, rgb_lpips
+    lpips_nets = [n for n in ("alex", "vgg") if lpips_available(n)]
+
     metrics = {k: [] for k in ("psnr", "ssim", "ms_ssim",
                                "mesh_psnr", "mesh_ssim", "mesh_ms_ssim")}
+    for n in lpips_nets:
+        metrics[f"lpips_{n}"] = []
+        metrics[f"mesh_lpips_{n}"] = []
     t_total = 0.0
     for i, cam in enumerate(scene.test_cameras):
         batch = make_batch(cam, scene.time_interval, trainer.bg)
@@ -147,12 +155,16 @@ def run_testing(cfg: Config, trainer, scene, save_dir: str = None,
         metrics["ssim"].append(float(L.ssim(img, gt)))
         if img.shape[1] >= 176 and img.shape[2] >= 176:
             metrics["ms_ssim"].append(float(L.ms_ssim(img, gt)))
+        for n in lpips_nets:
+            metrics[f"lpips_{n}"].append(rgb_lpips(img, gt, n))
         if with_mesh:
             mimg = jnp.clip(out["mesh_image"], 0, 1)
             metrics["mesh_psnr"].append(float(L.psnr(mimg, gt)))
             metrics["mesh_ssim"].append(float(L.ssim(mimg, gt)))
             if mimg.shape[1] >= 176 and mimg.shape[2] >= 176:
                 metrics["mesh_ms_ssim"].append(float(L.ms_ssim(mimg, gt)))
+            for n in lpips_nets:
+                metrics[f"mesh_lpips_{n}"].append(rgb_lpips(mimg, gt, n))
         if save_dir:
             save_image(os.path.join(save_dir, f"render_{i:03d}.png"),
                        np.asarray(img).transpose(1, 2, 0))

@@ -45,12 +45,20 @@ def chamfer(a, b, a_valid=None, b_valid=None, squared: bool = True):
     return ma + mb, d_ab, d_ba
 
 
-def emd_sinkhorn(a, b, epsilon: float = 0.01, iters: int = 300):
+def emd_sinkhorn(a, b, epsilon: float = 0.005, iters: int = 600):
     """Entropic-regularised earth mover's distance between equal-size sets.
 
     a, b: (N,3).  Returns approximate EMD = Σ P·C with P from Sinkhorn on the
-    squared-distance cost (uniform marginals).  The reference's ApproxMatch is
-    also approximate; both converge to the true EMD as regularisation → 0.
+    euclidean cost (uniform marginals).  Same scale as the reference's
+    emd_approx_cuda = ApproxMatch match_cost / N (evaluation_metrics.py:18-24,
+    approxmatch.cu:3-326) — i.e. the mean matched euclidean distance.
+
+    Calibration vs EXACT optimal assignment (scipy linear_sum_assignment on
+    f64 costs, Gaussian clouds n ∈ {64,128,256,512}, 5 seeds each — see
+    tests/test_geometry_ops.py::test_emd_sinkhorn_vs_exact): max relative
+    error 0.5% at these defaults (1.6% at the looser eps=0.01/300).  The
+    reference's ApproxMatch is itself an approximation that overestimates by
+    a few percent, so these numbers are comparable-or-closer to true EMD.
     """
     n = a.shape[0]
     a2 = jnp.sum(a * a, -1, keepdims=True)

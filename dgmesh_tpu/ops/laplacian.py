@@ -53,6 +53,28 @@ def _segment_accumulate(keys, vals, n_segments: int):
     return csum[hi] - csum[lo]
 
 
+def _corner_neighbor_sum(field, faces, keys_flat, lo=None, hi=None, V=None):
+    """Σ over N(v) of a per-vertex field, via the per-face-corner identity.
+
+    Within one face (a,b,c), corner a's two neighbours are b and c, so the
+    per-corner contribution is (Σ_corners field) − field_corner — ONE row per
+    face-corner (3F) instead of one per directed edge (6F), and the only
+    random access is the (F,3) face gather ``field[faces]`` (which XLA CSEs
+    with the renderer's identical per-face gathers when field is verts).
+    Sort-based segment accumulation: no colliding scatter-adds.
+    """
+    gf = field[faces]                             # (F,3,C)
+    contrib = gf.sum(axis=1, keepdims=True) - gf  # (F,3,C) Σ other corners
+    c = contrib.reshape(-1, field.shape[-1])
+    order_key, px, py, pz = jax.lax.sort(
+        (keys_flat, c[:, 0], c[:, 1], c[:, 2]), num_keys=1)
+    if lo is None:
+        lo, hi = _segment_bounds(order_key, V)
+    vs = jnp.stack([px, py, pz], axis=-1)
+    csum = jnp.concatenate([jnp.zeros((1, 3), field.dtype), cumsum_cols(vs)])
+    return csum[hi] - csum[lo], lo, hi
+
+
 @jax.custom_vjp
 def laplacian_uniform(verts, faces, face_valid):
     """Mean squared uniform-Laplacian magnitude.
@@ -61,14 +83,16 @@ def laplacian_uniform(verts, faces, face_valid):
     L(v) = (Σ_neighbors n_j)/deg − v, loss = mean ‖L‖².  Each undirected edge
     appears in ≥1 face; the reference iterates edges per face which counts an
     interior edge twice (once per adjacent face) — we match that weighting by
-    accumulating over per-face directed edges.
+    accumulating per face corner (each incident face contributes a vertex's
+    two in-face neighbours once ⇒ deg = 2 × corner count).
 
-    Both passes are sort-based segment accumulations — NO scatter-adds in
-    forward OR backward (autodiff of the neighbor gather would emit a
-    colliding scatter-add; the analytic adjoint is just another neighbor sum:
-    dL/dv = (2/Nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v)).  The backward reuses
-    the forward's sort order and segment bounds (same keys ⇒ same runs), so
-    it is one gather + one blocked prefix-sum.
+    Both passes are sort-based segment accumulations — NO scatter-adds and no
+    per-edge random gathers (the 6F ``verts[other]`` gather of the previous
+    design was the single most expensive op in the train step; the per-corner
+    identity needs only the (F,3) face gather, which CSEs with the mesh
+    renderer's).  The analytic adjoint is another neighbour sum:
+    dL/dv = (2/Nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v) — same corner stream,
+    same precomputed segment bounds, one re-sort.
     """
     loss, _ = _laplacian_fwd_impl(verts, faces, face_valid)
     return loss
@@ -76,32 +100,16 @@ def laplacian_uniform(verts, faces, face_valid):
 
 def _laplacian_fwd_impl(verts, faces, face_valid):
     V = verts.shape[0]
-    # per-directed-edge stream (6F): a 3F per-face-corner variant with the
-    # neighbour SUMS riding a 6-payload sort measured SLOWER on v5e (multi-
-    # payload compare-exchange cost outweighs the halved stream); keep the
-    # 2-array sort + one row gather.
-    e = _face_edges(faces)                        # (3F,2)
-    valid3 = jnp.repeat(face_valid, 3)
-    # both directions: key = endpoint, other = neighbor
-    keys = jnp.concatenate([e[:, 0], e[:, 1]])
-    other = jnp.concatenate([e[:, 1], e[:, 0]])
-    vv = jnp.concatenate([valid3, valid3])
-    keys = jnp.where(vv, keys, V)                 # dead edges → sentinel bin
-
-    # neighbor ids ride the sort as the payload — no iota+gather indirection
-    order_key, other_s = jax.lax.sort_key_val(keys, other)
-    vs = verts[other_s]                           # invalid rows land in bin V
-    csum = jnp.concatenate([jnp.zeros((1, 3), verts.dtype), cumsum_cols(vs)])
-    lo, hi = _segment_bounds(order_key, V)
-    nb = csum[hi] - csum[lo]                      # (V,3) Σ neighbors
-    deg = (hi - lo).astype(verts.dtype)           # bins < V hold only valid edges
+    keys = jnp.where(face_valid[:, None], faces, V).reshape(-1)  # (3F,)
+    nb, lo, hi = _corner_neighbor_sum(verts, faces, keys, V=V)   # (V,3)
+    deg = 2.0 * (hi - lo).astype(verts.dtype)     # 2 neighbours per corner
 
     has = deg > 0
     lap = nb / jnp.maximum(deg, 1.0)[:, None] - jnp.where(has[:, None], verts, 0.0)
     lap = jnp.where(has[:, None], lap, 0.0)
     nv = jnp.maximum(jnp.sum(has.astype(verts.dtype)), 1.0)
     loss = jnp.sum(lap * lap) / nv
-    return loss, (other_s, lo, hi, lap, deg, has, nv)
+    return loss, (faces, keys, lo, hi, lap, deg, has, nv)
 
 
 def _laplacian_fwd(verts, faces, face_valid):
@@ -110,13 +118,11 @@ def _laplacian_fwd(verts, faces, face_valid):
 
 
 def _laplacian_bwd(res, g):
-    other_s, lo, hi, lap, deg, has, nv = res
-    # dL/dv = (2/nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v); neighbor sum over the
-    # SAME sorted edge slots — no sort, no search, just gather + prefix-sum.
+    faces, keys, lo, hi, lap, deg, has, nv = res
+    # dL/dv = (2/nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v); same corner stream and
+    # segment bounds as the forward — no search, one sort + prefix-sum.
     lap_over_deg = lap / jnp.maximum(deg, 1.0)[:, None]
-    contrib = lap_over_deg[other_s]
-    csum = jnp.concatenate([jnp.zeros((1, 3), lap.dtype), cumsum_cols(contrib)])
-    acc = csum[hi] - csum[lo]
+    acc, _, _ = _corner_neighbor_sum(lap_over_deg, faces, keys, lo, hi)
     dv = (2.0 / nv) * (acc - lap)
     dv = jnp.where(has[:, None], dv, 0.0) * g
     return dv, None, None

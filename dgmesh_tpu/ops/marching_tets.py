@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .compaction import compact_indices
-from .scan import rank_in_sorted
+from .scan import rank_in_sorted, searchsorted1d
 
 # Cube corners, x-major bit layout: corner i = (i>>2 & 1, i>>1 & 1, i & 1).
 _CORNERS = np.array([[(i >> 2) & 1, (i >> 1) & 1, i & 1] for i in range(8)],
@@ -313,7 +313,10 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
         ((a[..., 0] * res + a[..., 1]) * res + a[..., 2]) * 7 + _EDGE_CLASS_NP)
     face_geid = (cube_ids[fcube][:, None] * 7
                  + geid_delta[ftet[:, None], ftris])               # (MAX_F,3)
-    vidx = rank_in_sorted(edge_gids, face_geid.reshape(-1), side="left")
+    if res * res * res * 7 < 2 ** 30:   # static: gid*2+tag fits int32
+        vidx = rank_in_sorted(edge_gids, face_geid.reshape(-1), side="left")
+    else:                               # grid_res > 512: key packing would
+        vidx = searchsorted1d(edge_gids, face_geid.reshape(-1), side="left")
     faces = jnp.minimum(vidx, cfg.max_verts - 1).reshape(-1, 3)
     face_valid = jnp.arange(cfg.max_faces) < jnp.minimum(n_faces_total, cfg.max_faces)
     faces = jnp.where(face_valid[:, None], faces, 0)

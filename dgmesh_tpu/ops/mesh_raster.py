@@ -75,20 +75,29 @@ def project_verts(verts, pose, proj, cfg: MeshRasterConfig):
     return jnp.stack([px, py], -1), w, ok
 
 
-def _face_screen(xy, w, ok, faces, face_valid):
-    """Gather per-face screen triangles; returns (F,3,2), inv_w (F,3), valid.
+def _face_screen(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig):
+    """Per-face screen triangles; returns (F,3,2), inv_w (F,3), valid.
 
-    One 4-lane row gather of a packed [xy|w|ok] per-vertex table instead of
-    three separate gathers — TPU gather (and its scatter-add VJP) cost is
-    ~per-index, not per-element.
+    Gathers WORLD verts per face corner and projects the corners directly
+    (projection is linear, so this is bit-for-bit the per-vertex projection
+    up to fp order).  The ``verts[faces]`` gather is the same op the
+    Laplacian regularizer issues, so XLA CSEs the two into ONE 3F-row gather
+    — and their cotangents sum before a single scatter-add in the VJP —
+    instead of a separate (V,4)-table gather + scatter per module.
     """
-    vs = jnp.concatenate([xy, w[:, None], ok.astype(xy.dtype)[:, None]],
-                         axis=-1)              # (V,4)
-    g = vs[faces]                              # (F,3,4)
-    tri = g[..., 0:2]                          # (F,3,2)
-    wf = g[..., 2]                             # (F,3)
-    valid = face_valid & (g[..., 3] > 0.5).all(axis=1)
-    inv_w = 1.0 / jnp.where(wf > 0, wf, 1.0)
+    tri_w = verts[faces]                           # (F,3,3) shared face gather
+    ones = jnp.ones(tri_w.shape[:2] + (1,), verts.dtype)
+    hom = jnp.concatenate([tri_w, ones], axis=-1)  # (F,3,4)
+    clip = hom @ (proj @ pose).T                   # OpenGL clip space
+    w = clip[..., 3]                               # (F,3)
+    ok = w > cfg.eps_w
+    w_safe = jnp.where(ok, w, 1.0)
+    ndc = clip[..., :3] / w_safe[..., None]
+    px = (ndc[..., 0] * 0.5 + 0.5) * cfg.width
+    py = (0.5 - ndc[..., 1] * 0.5) * cfg.height    # y down (image convention)
+    tri = jnp.stack([px, py], -1)                  # (F,3,2)
+    valid = face_valid & ok.all(axis=1)
+    inv_w = 1.0 / w_safe
     return tri, inv_w, valid
 
 
@@ -99,8 +108,7 @@ def rasterize(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig):
     perspective-correct barycentrics (H,W,3), plus the projection tensors
     needed by shading (kept for reuse, all differentiable).
     """
-    xy, w, ok = project_verts(verts, pose, proj, cfg)
-    tri, inv_w, fvalid = _face_screen(xy, w, ok, faces, face_valid)
+    tri, inv_w, fvalid = _face_screen(verts, faces, face_valid, pose, proj, cfg)
 
     sg = jax.lax.stop_gradient
     tri_s = sg(tri)
@@ -119,8 +127,7 @@ def rasterize(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig):
     # packed per-face shading attributes: one row gather per tile slot
     # downstream (lanes 0..5 screen tri, 6..8 inv_w)
     pack = jnp.concatenate([tri.reshape(-1, 6), inv_w], axis=-1)
-    return dict(bins=bins, tri=tri, inv_w=inv_w, pack=pack, fvalid=fvalid,
-                xy=xy, w=w)
+    return dict(bins=bins, tri=tri, inv_w=inv_w, pack=pack, fvalid=fvalid)
 
 
 def _tile_pixels(tile_ids, cfg):

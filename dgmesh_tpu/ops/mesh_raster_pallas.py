@@ -4,8 +4,9 @@ Fuses ops/mesh_raster._shade_chunk — per-tile z-buffer, winner selection,
 perspective-correct color interpolation, and the SoftRas soft silhouette —
 into one VMEM-resident kernel (one grid step per tile), the same recipe as
 ops/splat_pallas.py.  None of the (K,P) intermediates (barycentrics, edge
-distances, z keys) ever touch HBM.  Backward runs through a jnp twin of the
-same math with remat (same memory story as the XLA path).
+distances, z keys) ever touch HBM.  Backward defaults to the fused analytic
+Pallas kernel (recompute-in-VMEM, `analytic_bwd=True`); the chunked jnp twin
+remains as the autodiff fallback and test oracle.
 
 Replaces the hot path of nvdiffrast (`dr.rasterize/interpolate/antialias`,
 reference utils/renderer.py:33-121) at the reference problem size

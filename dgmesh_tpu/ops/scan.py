@@ -46,8 +46,13 @@ def cumsum1d(x):
     x2 = x.reshape(R, 128)
     lo = (x2 & 0xFFFF).astype(jnp.float32)          # 0..65535
     hi = (x2 >> 16).astype(jnp.float32)             # arithmetic shift keeps sign
-    rp = ((lo @ U).astype(jnp.int32)
-          + ((hi @ U).astype(jnp.int32) << 16))     # (R,128) within-row prefix
+    # Precision.HIGHEST: TPU's DEFAULT matmul precision rounds f32 inputs to
+    # bf16 (8-bit mantissa), which corrupts 16-bit halves > 256.  The full-f32
+    # 6-pass matmul is exact here (row sums <= 2^23) and these (R,128)x(128,128)
+    # contractions are tiny, so the cost is negligible.
+    hp = jax.lax.Precision.HIGHEST
+    rp = (jnp.matmul(lo, U, precision=hp).astype(jnp.int32)
+          + (jnp.matmul(hi, U, precision=hp).astype(jnp.int32) << 16))
     row_tot = rp[:, -1]
     offs = cumsum1d(row_tot) - row_tot              # exclusive row offsets
     return (rp + offs[:, None]).reshape(-1)[:n]
@@ -68,7 +73,8 @@ def cumsum_cols(x):
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     x3 = x.reshape(R, 128, C)
-    rp = jnp.einsum("rjc,jk->rkc", x3, U)
+    rp = jnp.einsum("rjc,jk->rkc", x3, U,
+                    precision=jax.lax.Precision.HIGHEST)
     row_tot = rp[:, -1, :]
     offs = cumsum_cols(row_tot) - row_tot
     return (rp + offs[:, None, :]).reshape(-1, C)[:n]

@@ -5,8 +5,9 @@ attribute blocks → alpha evaluation → front-to-back transmittance → weight
 color reduction — into one VMEM-resident kernel (one grid step per tile), so
 none of the (K,P) intermediates ever touch HBM.  Equivalent math to the XLA
 path (same cumprod-in-log-space formulation); used for the forward pass with
-a custom_vjp whose backward recomputes per tile (same memory story as the
-remat'd XLA path).
+a custom_vjp whose backward defaults to the fused analytic Pallas kernel
+(recompute-in-VMEM, `analytic_bwd=True`); the chunked jnp twin remains as
+the autodiff fallback and test oracle.
 
 Layout: per-tile gaussian attributes are pre-gathered (outside the kernel)
 into a (T, K, 16) tensor:

@@ -22,9 +22,15 @@ from ..models.gaussians import GaussianParams, GaussianStats
 from ..train.state import TrainState
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "dev") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dev",
+              devices=None) -> Mesh:
+    """1-D device mesh. ``devices`` pins an explicit device list (e.g.
+    ``jax.devices("cpu")`` for a host-platform dry run); default is the
+    backend's device order."""
+    devs = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(f"need {n} devices, have {len(devs)}")
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 

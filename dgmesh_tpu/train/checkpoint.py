@@ -57,4 +57,22 @@ def load_checkpoint(template: TrainState, model_path: str,
         if iteration is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     with open(os.path.join(ckpt_dir, f"state_{iteration}.msgpack"), "rb") as f:
-        return fser.from_bytes(template, f.read())
+        blob = f.read()
+    try:
+        return fser.from_bytes(template, blob)
+    except (ValueError, KeyError) as e:
+        # FORMAT BREAK (2026-08): the deform/appearance trunks moved from
+        # inline nn.Dense layers (params `Dense_i/kernel`) into the shared
+        # MLPTrunk module (`MLPTrunk_0/w_i,b_i`, head numbering shifted).
+        # Checkpoints written before that commit cannot load into the new
+        # tree; the auto-numbering shift depends on net variant flags, so we
+        # fail loudly instead of guessing a remap.
+        if b"Dense_" in blob and b"MLPTrunk_0" not in blob:
+            raise ValueError(
+                f"checkpoint {ckpt_dir}/state_{iteration}.msgpack predates "
+                "the MLPTrunk param-tree rename (Dense_i/kernel -> "
+                "MLPTrunk_0/w_i) and cannot be loaded by this version; "
+                "re-train or export the Gaussians via the PLY path "
+                "(point_cloud/iteration_N/point_cloud.ply) which is "
+                "unaffected") from e
+        raise

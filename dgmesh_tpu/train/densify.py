@@ -192,7 +192,12 @@ def anchor_step(cfg: Config, nets_def, gp: GaussianParams, gs: GaussianStats,
     M = gp.xyz.shape[0]
     F = mesh_faces.shape[0]
     pre_alive = gs.alive
-    topn = 2  # reference anchor_topn default; merge logic below is topn=2
+    # reference anchor_topn (gaussian_model_dpsr_dynamic_anchor.py:788-807):
+    # merge the first topn Gaussians of each selected n-1 face, delete ranks
+    # >= topn.  (The reference's masked_select().view(-1, topn) silently
+    # REQUIRES count >= topn per selected face and crashes otherwise; here
+    # faces with 1 < count < topn average their count members instead.)
+    topn = max(2, int(o.anchor_topn))
 
     # anchoring compares deformed positions against anchor_search_radius
     # (~1.5e-3): bf16 trunk rounding (~4e-3 position error) would mark most
@@ -241,22 +246,29 @@ def anchor_step(cfg: Config, nets_def, gp: GaussianParams, gs: GaussianStats,
     in_sel = alive1 & fsel_mask[nn]
     to_delete = in_sel & (rank >= topn)               # extras beyond topn (:802-805)
 
-    # per selected face: first two gaussians
+    # per selected face: its first min(count, topn) gaussians in slot order
     f_start = searchsorted1d(sorted_key, sel_f)
-    ga = sorted_gid[jnp.minimum(f_start, M - 1)]
-    gb = sorted_gid[jnp.minimum(f_start + 1, M - 1)]
-    merge_valid = sel_valid  # counts>1 ⇒ both exist
+    ks = jnp.arange(topn, dtype=jnp.int32)
+    gk = sorted_gid[jnp.minimum(f_start[:, None] + ks[None, :], M - 1)]  # (bs,topn)
+    cnt_sel = counts[sel_f]
+    kvalid = sel_valid[:, None] & (ks[None, :] < cnt_sel[:, None])       # (bs,topn)
+    w = kvalid.astype(jnp.float32)
+    w = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1.0)
+    ga = gk[:, 0]
+    merge_valid = sel_valid  # counts>1 ⇒ at least two exist
 
     # average in deformed space (average_and_prune :599-649): raw params +
-    # deform offsets, mean, then deform_back
-    def gather2(arr):
-        return (arr[ga] + arr[gb]) / 2.0
+    # deform offsets, mean over the merged members, then deform_back
+    def gatherN(arr):
+        vals = arr[gk]                                   # (bs, topn, ...)
+        wv = w.reshape(w.shape + (1,) * (vals.ndim - 2))
+        return (vals * wv).sum(axis=1)
 
     sel_t = jnp.full((bs, 1), fid)
-    mdef_xyz = (gpts[ga] + gpts[gb]) / 2.0
-    mdef_scaling = gather2(gp.scaling) + (d_scale[ga] + d_scale[gb]) / 2.0
-    mdef_rot = gather2(gp.rotation) + (d_rot[ga] + d_rot[gb]) / 2.0
-    mdef_norm = gather2(gp.normal) + (d_norm[ga] + d_norm[gb]) / 2.0
+    mdef_xyz = gatherN(gpts)
+    mdef_scaling = gatherN(gp.scaling + d_scale)
+    mdef_rot = gatherN(gp.rotation + d_rot)
+    mdef_norm = gatherN(gp.normal + d_norm)
 
     db_xyz, db_rot, db_scale, db_norm = nets_def.deform_back.apply(
         nets.deform_back, mdef_xyz, sel_t)
@@ -273,9 +285,10 @@ def anchor_step(cfg: Config, nets_def, gp: GaussianParams, gs: GaussianStats,
     # write merged gaussian into slot ga; kill gb and the extras
     merged_vals = dict(
         xyz=new_xyz, scaling=new_scaling, rotation=new_rot, normal=new_norm,
-        f_dc=gather2(gp.f_dc), f_rest=gather2(gp.f_rest), opacity=gather2(gp.opacity))
+        f_dc=gatherN(gp.f_dc), f_rest=gatherN(gp.f_rest), opacity=gatherN(gp.opacity))
     gp = _copy_rows(gp, jnp.minimum(ga, M - 1), ga, merge_valid, values=merged_vals)
-    killed = jnp.zeros(M, bool).at[jnp.where(merge_valid, gb, M)].set(True, mode="drop")
+    kill_rows = jnp.where(kvalid[:, 1:], gk[:, 1:], M)   # members beyond slot 0
+    killed = jnp.zeros(M, bool).at[kill_rows.reshape(-1)].set(True, mode="drop")
     alive2 = alive1 & ~to_delete & ~killed
 
     # ---- 0-1 faces: spawn at centroids (densify_from_face :651-677) ----

@@ -128,7 +128,9 @@ def net_lrs(step, cfg: Config) -> NetParams:
                              max_steps=o.deform_lr_max_steps),
         deform_back_normal=expon_lr(step, o.position_lr_init * 10, o.position_lr_final * 10,
                                     max_steps=o.deform_lr_max_steps),
-        appearance=expon_lr(step, 1.6e-4, 1.6e-6, max_steps=40_000),
+        appearance=expon_lr(step, o.apperance_lr_init, o.apperance_lr_final,
+                            lr_delay_mult=o.apperance_lr_delay_mult,
+                            max_steps=o.apperance_lr_max_steps),
     )
 
 

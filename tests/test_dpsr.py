@@ -136,3 +136,36 @@ def test_dpsr_gradients():
     gp, gn = jax.grad(loss, argnums=(0, 1))(jnp.asarray(pts), jnp.asarray(normals))
     assert np.isfinite(np.asarray(gp)).all() and np.isfinite(np.asarray(gn)).all()
     assert np.abs(np.asarray(gp)).sum() > 0 and np.abs(np.asarray(gn)).sum() > 0
+
+
+def test_dpsr_splat_mode_training_scale():
+    """ADVICE r1: the div-splat fast path must match the spectral divergence
+    at the TRAINING sigma (3.0) on a shape with high-frequency content —
+    not just the easy res-48/sig-2 sphere.  Calibrated 2026-08: rel L2
+    0.4%, inside/outside agreement 1-1e-6, surface-band RMS 0.007 (phi
+    scale ±0.5) on a bumpy sphere at res 96-128."""
+    rng = np.random.default_rng(0)
+    n = 20000
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    r = (0.30 + 0.03 * np.sin(36 * d[:, 0]) * np.cos(28 * d[:, 1])
+         + 0.02 * np.sin(55 * d[:, 2]))
+    pts = (0.5 + d * r[:, None]).astype(np.float32)
+    normals = d.astype(np.float32)
+
+    res = (96, 96, 96)
+    phi_s = np.asarray(DPSR(res, sig=3.0)(jnp.asarray(pts), jnp.asarray(normals)))
+    phi_f = np.asarray(DPSR(res, sig=3.0, div_mode="splat")(
+        jnp.asarray(pts), jnp.asarray(normals)))
+    if phi_s[0, 0, 0] < 0:
+        phi_s = -phi_s
+    if phi_f[0, 0, 0] < 0:
+        phi_f = -phi_f
+    rel_l2 = np.linalg.norm(phi_s - phi_f) / np.linalg.norm(phi_s)
+    assert rel_l2 < 0.01, rel_l2
+    m = np.abs(phi_s) > 0.02        # inside/outside, away from the iso level
+    agree = (np.sign(phi_s[m]) == np.sign(phi_f[m])).mean()
+    assert agree > 0.9999, agree
+    band = np.abs(phi_s) < 0.1      # the band marching-tets actually reads
+    band_rms = float(np.sqrt(((phi_s[band] - phi_f[band]) ** 2).mean()))
+    assert band_rms < 0.02, band_rms

@@ -140,3 +140,26 @@ def test_laplacian_custom_vjp_matches_fd(rng):
             fd = (float(laplacian.laplacian_uniform(verts + e, faces, fv))
                   - float(laplacian.laplacian_uniform(verts - e, faces, fv))) / (2 * eps)
             np.testing.assert_allclose(float(g[i, j]), fd, atol=2e-3)
+
+
+def test_emd_sinkhorn_vs_exact(rng):
+    """Calibration: emd_sinkhorn vs EXACT optimal assignment (Hungarian).
+
+    The reference's EMD is PointFlow ApproxMatch match_cost/N
+    (approxmatch.cu:3-326, evaluation_metrics.py:18-24) — mean matched
+    euclidean distance.  Our Sinkhorn substitute must agree with the exact
+    optimum to <2% so numbers are comparable with reference tables.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    for n in (64, 256):
+        for seed in (0, 1):
+            r = np.random.default_rng(seed)
+            a = r.normal(size=(n, 3)).astype(np.float32)
+            b = (r.normal(size=(n, 3)) * 0.8 + 0.2).astype(np.float32)
+            C = np.linalg.norm(a[:, None].astype(np.float64)
+                               - b[None, :].astype(np.float64), axis=-1)
+            ri, ci = linear_sum_assignment(C)
+            exact = C[ri, ci].mean()
+            approx = float(chamfer.emd_sinkhorn(jnp.asarray(a), jnp.asarray(b)))
+            assert abs(approx - exact) / exact < 0.02, (n, seed, approx, exact)

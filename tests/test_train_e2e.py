@@ -110,3 +110,64 @@ def test_state_finite(tiny_run):
     leaves = jax.tree.leaves(trainer.state.gp)
     for l in leaves:
         assert np.isfinite(np.asarray(l)).all()
+
+
+def test_anchor_iteration_semantics(tiny_run):
+    """Pin the combined anchor-iteration order of operations (VERDICT r1 #8).
+
+    Reference (train.py:287-304 + gaussian_model_dpsr_dynamic_anchor.py
+    :736-828) mutates Gaussian tensors + Adam moments mid-iteration, then
+    backprops only the surviving terms; the tensor swap makes optimizer.step()
+    skip every Gaussian group that iteration, while the net optimizers DO
+    step.  Our equivalent: anchor_step runs first, the jitted train step
+    consumes stop-gradiented anchor_info with skip_gaussian_update=True, and
+    the anchored params/moments overwrite the step's outputs.
+
+    Asserts, on a real post-training mesh-phase state:
+      * final gp / gs / Adam moments are EXACTLY anchor_step's outputs
+        (no Adam update leaked into any Gaussian group);
+      * g_count (Adam step counter for Gaussians) did not advance;
+      * net params DID receive their Adam update;
+      * the anchor loss entered the step's total loss.
+
+    NOTE: mutates trainer.state — keep this test last in the file.
+    """
+    trainer, _ = tiny_run
+    o = trainer.cfg.optimization
+    it = 150  # > anchor_iter=60, % anchor_interval=30 == 0, mesh phase
+    f = trainer.flags_for(it)
+    assert f.anchor and f.skip_gaussian_update and f.mesh
+
+    cam = trainer.scene.train_cameras[0]
+    trainer.next_camera = lambda: cam
+    trainer.key = jax.random.PRNGKey(777)
+    # deep-copy: the jitted step donates the state buffers, which would
+    # invalidate `pre` for the replay below
+    import jax.numpy as jnp
+    pre = jax.tree.map(lambda x: jnp.array(x, copy=True), trainer.state)
+
+    metrics = trainer.run_iteration(it)
+    post = trainer.state
+
+    # replay the anchor step with the loop's exact key/batch wiring
+    _, k1, _, _ = jax.random.split(jax.random.PRNGKey(777), 4)
+    batch = trainer.get_batch(cam)
+    gp_a, gs_a, mu_a, nu_a, info = trainer.anchor_fn(pre, batch, k1)
+
+    for got, want in zip(jax.tree.leaves((post.gp, post.g_mu, post.g_nu)),
+                         jax.tree.leaves((gp_a, mu_a, nu_a))):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(post.gs.alive),
+                                  np.asarray(gs_a.alive))
+    np.testing.assert_array_equal(np.asarray(post.g_count),
+                                  np.asarray(pre.g_count))
+    assert int(post.step) == int(pre.step) + 1
+
+    # nets saw their Adam update (deform is active in mesh phase)
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(pre.nets.deform),
+                        jax.tree.leaves(post.nets.deform)))
+    assert changed, "deform net params did not update on an anchor iteration"
+
+    assert "anchor_loss" in metrics and np.isfinite(float(metrics["anchor_loss"]))
