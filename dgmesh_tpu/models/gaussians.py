@@ -180,8 +180,9 @@ def save_ply(path: str, params: GaussianParams, stats: GaussianStats):
 
     xyz = np.asarray(params.xyz)[idx]
     normal = np.asarray(params.normal)[idx]
-    f_dc = np.asarray(params.f_dc)[idx].transpose(0, 2, 1).reshape(n, -1)  # (n,3)
-    f_rest = np.asarray(params.f_rest)[idx].transpose(0, 2, 1).reshape(n, -1)
+    # explicit column counts so n == 0 (fully-pruned cloud) still reshapes
+    f_dc = np.asarray(params.f_dc)[idx].transpose(0, 2, 1).reshape(n, 3)
+    f_rest = np.asarray(params.f_rest)[idx].transpose(0, 2, 1).reshape(n, 3 * n_rest)
     opacity = np.asarray(params.opacity)[idx]
     scale = np.asarray(params.scaling)[idx]
     rot = np.asarray(params.rotation)[idx]

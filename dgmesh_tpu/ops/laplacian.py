@@ -13,9 +13,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .scan import cumsum_cols, searchsorted1d
-
-
 def _face_edges(faces):
     """Directed edge list (3F, 2) from faces — both directions accumulate in
     the umbrella operator like the reference's compute_edges path."""
@@ -24,58 +21,6 @@ def _face_edges(faces):
     return e
 
 
-def _segment_bounds(order_key, n_segments: int):
-    """[lo, hi) index ranges of each key-run in a sorted key array.
-
-    One search over arange(n_segments+1): for integer keys,
-    searchsorted(k+1, left) == searchsorted(k, right), so hi is just lo
-    shifted — halves the binary-search cost vs a left+right pair.
-    """
-    bounds = searchsorted1d(order_key, jnp.arange(n_segments + 1,
-                                                  dtype=jnp.int32), side="left")
-    return bounds[:-1], bounds[1:]
-
-
-def _segment_accumulate(keys, vals, n_segments: int):
-    """Σ vals per key, scatter-free: sort by key, prefix-sum, take segment
-    differences at run boundaries.  TPU scatter-add over millions of
-    colliding indices lowers terribly; sort+scan does not.
-
-    keys (E,) int32 in [0, n_segments]; vals (E, C).  Returns (n_segments, C).
-    """
-    order_key, order = jax.lax.sort_key_val(
-        keys, jnp.arange(keys.shape[0], dtype=jnp.int32))
-    vs = vals[order]
-    csum = cumsum_cols(vs)
-    zero = jnp.zeros((1,) + vs.shape[1:], vs.dtype)
-    csum = jnp.concatenate([zero, csum], axis=0)          # (E+1, C)
-    lo, hi = _segment_bounds(order_key, n_segments)
-    return csum[hi] - csum[lo]
-
-
-def _corner_neighbor_sum(field, faces, keys_flat, lo=None, hi=None, V=None):
-    """Σ over N(v) of a per-vertex field, via the per-face-corner identity.
-
-    Within one face (a,b,c), corner a's two neighbours are b and c, so the
-    per-corner contribution is (Σ_corners field) − field_corner — ONE row per
-    face-corner (3F) instead of one per directed edge (6F), and the only
-    random access is the (F,3) face gather ``field[faces]`` (which XLA CSEs
-    with the renderer's identical per-face gathers when field is verts).
-    Sort-based segment accumulation: no colliding scatter-adds.
-    """
-    gf = field[faces]                             # (F,3,C)
-    contrib = gf.sum(axis=1, keepdims=True) - gf  # (F,3,C) Σ other corners
-    c = contrib.reshape(-1, field.shape[-1])
-    order_key, px, py, pz = jax.lax.sort(
-        (keys_flat, c[:, 0], c[:, 1], c[:, 2]), num_keys=1)
-    if lo is None:
-        lo, hi = _segment_bounds(order_key, V)
-    vs = jnp.stack([px, py, pz], axis=-1)
-    csum = jnp.concatenate([jnp.zeros((1, 3), field.dtype), cumsum_cols(vs)])
-    return csum[hi] - csum[lo], lo, hi
-
-
-@jax.custom_vjp
 def laplacian_uniform(verts, faces, face_valid):
     """Mean squared uniform-Laplacian magnitude.
 
@@ -86,49 +31,65 @@ def laplacian_uniform(verts, faces, face_valid):
     accumulating per face corner (each incident face contributes a vertex's
     two in-face neighbours once ⇒ deg = 2 × corner count).
 
-    Both passes are sort-based segment accumulations — NO scatter-adds and no
-    per-edge random gathers (the 6F ``verts[other]`` gather of the previous
-    design was the single most expensive op in the train step; the per-corner
-    identity needs only the (F,3) face gather, which CSEs with the mesh
-    renderer's).  The analytic adjoint is another neighbour sum:
+    Both passes are single multi-column scatter-adds over the 3F per-corner
+    stream, with no per-edge random gathers (the 6F ``verts[other]`` gather of
+    the earlier design was the single most expensive op in the train step; the
+    per-corner identity needs only the (F,3) face gather, which CSEs with the
+    mesh renderer's).  The analytic adjoint is another neighbour sum:
     dL/dv = (2/Nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v) — same corner stream,
-    same precomputed segment bounds, one re-sort.
+    one more scatter-add.
     """
-    loss, _ = _laplacian_fwd_impl(verts, faces, face_valid)
+    return laplacian_uniform_tri(verts[faces], verts, faces, face_valid)
+
+
+@jax.custom_vjp
+def laplacian_uniform_tri(tri, verts, faces, face_valid):
+    """laplacian_uniform over a PRE-GATHERED corner tensor tri = verts[faces].
+
+    The caller shares one ``verts[faces]`` gather between this regularizer and
+    the mesh rasterizer (mesh_raster._face_screen), so in the backward their
+    per-corner cotangents sum elementwise and go through ONE 3F-row
+    scatter-add into dverts — the adjoint here produces dtri directly via a
+    (F,3) gather of lap/deg (no scatter of its own).
+    """
+    loss, _ = _laplacian_tri_fwd(tri, verts, faces, face_valid)
     return loss
 
 
-def _laplacian_fwd_impl(verts, faces, face_valid):
+def _laplacian_tri_fwd(tri, verts, faces, face_valid):
     V = verts.shape[0]
     keys = jnp.where(face_valid[:, None], faces, V).reshape(-1)  # (3F,)
-    nb, lo, hi = _corner_neighbor_sum(verts, faces, keys, V=V)   # (V,3)
-    deg = 2.0 * (hi - lo).astype(verts.dtype)     # 2 neighbours per corner
+    contrib = tri.sum(axis=1, keepdims=True) - tri    # (F,3,3) Σ other corners
+    c = contrib.reshape(-1, 3)
+    c = jnp.concatenate([c, jnp.ones((c.shape[0], 1), tri.dtype)], -1)
+    acc = jnp.zeros((V + 1, 4), tri.dtype).at[keys].add(c)[:V]
+    nb = acc[:, :3]                               # (V,3)
+    deg = 2.0 * acc[:, 3]                         # 2 neighbours per corner
 
     has = deg > 0
     lap = nb / jnp.maximum(deg, 1.0)[:, None] - jnp.where(has[:, None], verts, 0.0)
     lap = jnp.where(has[:, None], lap, 0.0)
     nv = jnp.maximum(jnp.sum(has.astype(verts.dtype)), 1.0)
     loss = jnp.sum(lap * lap) / nv
-    return loss, (faces, keys, lo, hi, lap, deg, has, nv)
+    return loss, (faces, face_valid, lap, deg, nv)
 
 
-def _laplacian_fwd(verts, faces, face_valid):
-    loss, res = _laplacian_fwd_impl(verts, faces, face_valid)
-    return loss, res
+def _laplacian_tri_bwd(res, g):
+    faces, face_valid, lap, deg, nv = res
+    # ∂loss/∂contrib[f,k] = (2/nv)·(lap/deg)[faces[f,k]]  (=: G[f,k]), and
+    # contrib[f,k] = Σ_{j≠k} tri[f,j]  ⇒  dtri[f,j] = Σ_{k≠j} G[f,k].
+    # The direct −verts term in lap gives dverts = −(2/nv)·lap.
+    G = (lap / jnp.maximum(deg, 1.0)[:, None])[faces]     # (F,3,3)
+    dtri = G.sum(axis=1, keepdims=True) - G
+    dtri = jnp.where(face_valid[:, None, None], dtri, 0.0) * ((2.0 / nv) * g)
+    dverts = lap * (-(2.0 / nv) * g)              # lap already 0 where no deg
+    return dtri, dverts, None, None
 
 
-def _laplacian_bwd(res, g):
-    faces, keys, lo, hi, lap, deg, has, nv = res
-    # dL/dv = (2/nv)·(Σ_{u∈N(v)} lap_u/deg_u − lap_v); same corner stream and
-    # segment bounds as the forward — no search, one sort + prefix-sum.
-    lap_over_deg = lap / jnp.maximum(deg, 1.0)[:, None]
-    acc, _, _ = _corner_neighbor_sum(lap_over_deg, faces, keys, lo, hi)
-    dv = (2.0 / nv) * (acc - lap)
-    dv = jnp.where(has[:, None], dv, 0.0) * g
-    return dv, None, None
-
-
-laplacian_uniform.defvjp(_laplacian_fwd, _laplacian_bwd)
+laplacian_uniform_tri.defvjp(
+    lambda tri, verts, faces, face_valid: _laplacian_tri_fwd(
+        tri, verts, faces, face_valid),
+    _laplacian_tri_bwd)
 
 
 def face_normals(verts, faces, face_valid, normalize: bool = True):

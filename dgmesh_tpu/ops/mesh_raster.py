@@ -75,17 +75,20 @@ def project_verts(verts, pose, proj, cfg: MeshRasterConfig):
     return jnp.stack([px, py], -1), w, ok
 
 
-def _face_screen(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig):
+def _face_screen(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig,
+                 tri_w=None):
     """Per-face screen triangles; returns (F,3,2), inv_w (F,3), valid.
 
     Gathers WORLD verts per face corner and projects the corners directly
     (projection is linear, so this is bit-for-bit the per-vertex projection
-    up to fp order).  The ``verts[faces]`` gather is the same op the
-    Laplacian regularizer issues, so XLA CSEs the two into ONE 3F-row gather
-    — and their cotangents sum before a single scatter-add in the VJP —
-    instead of a separate (V,4)-table gather + scatter per module.
+    up to fp order).  Callers that also evaluate the Laplacian regularizer
+    pass the SAME pre-gathered ``tri_w = verts[faces]`` tensor to both
+    (train/step.py mesh branch), so the two modules share ONE 3F-row gather
+    and their per-corner cotangents sum elementwise before a single
+    scatter-add in the VJP — instead of a separate gather + scatter each.
     """
-    tri_w = verts[faces]                           # (F,3,3) shared face gather
+    if tri_w is None:
+        tri_w = verts[faces]                       # (F,3,3) shared face gather
     ones = jnp.ones(tri_w.shape[:2] + (1,), verts.dtype)
     hom = jnp.concatenate([tri_w, ones], axis=-1)  # (F,3,4)
     clip = hom @ (proj @ pose).T                   # OpenGL clip space
@@ -101,14 +104,16 @@ def _face_screen(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig):
     return tri, inv_w, valid
 
 
-def rasterize(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig):
+def rasterize(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig,
+              tri_w=None):
     """Bin faces and z-buffer each tile.
 
     Returns dict with per-pixel winner face id (H,W) int32 (-1 = background),
     perspective-correct barycentrics (H,W,3), plus the projection tensors
     needed by shading (kept for reuse, all differentiable).
     """
-    tri, inv_w, fvalid = _face_screen(verts, faces, face_valid, pose, proj, cfg)
+    tri, inv_w, fvalid = _face_screen(verts, faces, face_valid, pose, proj, cfg,
+                                      tri_w=tri_w)
 
     sg = jax.lax.stop_gradient
     tri_s = sg(tri)
@@ -325,14 +330,15 @@ def phong_vertex_colors(verts, faces, face_valid, cam_center, light_dir=None,
 
 
 def render_mesh(verts, faces, face_valid, vtx_color, pose, proj, bg_color,
-                cfg: MeshRasterConfig, want_soft: bool = True):
+                cfg: MeshRasterConfig, want_soft: bool = True, tri_w=None):
     """Full mesh render (reference: utils/renderer.py render_mask :33-66 +
     render_mesh :69-121 in one pass).
 
     Returns dict: rgb (H,W,3), mask (H,W) hard coverage, soft_mask (H,W)
     differentiable silhouette, face_id (H,W), aux (binning overflow counters).
+    ``tri_w``: optional pre-gathered verts[faces] shared with the Laplacian.
     """
-    rast = rasterize(verts, faces, face_valid, pose, proj, cfg)
+    rast = rasterize(verts, faces, face_valid, pose, proj, cfg, tri_w=tri_w)
     bins = rast["bins"]
     bg = jnp.asarray(bg_color, jnp.float32)
     if cfg.use_pallas:

@@ -35,7 +35,7 @@ from ..models.mlp import chunked_apply
 from ..ops import losses as L
 from ..ops import splat
 from ..ops.dpsr import DPSR
-from ..ops.laplacian import laplacian_uniform
+from ..ops.laplacian import laplacian_uniform_tri
 from ..ops.marching_tets import MTConfig, marching_tets
 from ..ops import mesh_raster as MR
 from ..schedules import linear_noise
@@ -211,9 +211,12 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
     if flags.mesh:
         mesh = extract_mesh(ctx, gp, gs, d_xyz, d_normal, flags.freeze_pos)
         vtx_color = _mesh_colors(ctx, nets, mesh.verts, mesh.vert_valid, batch.fid)
+        # one shared verts[faces] gather for rasterizer + laplacian: their
+        # per-corner cotangents sum before a single scatter-add in backward
+        tri_w = mesh.verts[mesh.faces]
         mout = MR.render_mesh(mesh.verts, mesh.faces, mesh.face_valid, vtx_color,
                               batch.mesh_pose, batch.mesh_proj, batch.bg,
-                              ctx.mr_cfg, want_soft=True)
+                              ctx.mr_cfg, want_soft=True, tri_w=tri_w)
         mask = mout["soft_mask"]
         mesh_image = mout["rgb"].transpose(2, 0, 1)
 
@@ -223,7 +226,8 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
         losses["mesh_img_loss"] = mesh_img_loss * o.mesh_img_loss_weight
         t_iter = step_f / o.iterations
         losses["laplacian_loss"] = (
-            laplacian_uniform(mesh.verts, mesh.faces, mesh.face_valid)
+            laplacian_uniform_tri(tri_w, mesh.verts, mesh.faces,
+                                  mesh.face_valid)
             * 1000.0 * cfg.model.laplacian_loss_weight * (1.0 - t_iter))
         aux["mesh_psnr"] = L.psnr(jax.lax.stop_gradient(mesh_image), batch.gt_image)
         aux["mesh_overflow"] = mesh.overflow
