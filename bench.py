@@ -62,6 +62,9 @@ def main():
     t.max_face_dup = 1 << 20
     t.tile_chunk = 500
     t.use_pallas = True
+    # exact for the hard z-buffer image on the closed outward-wound MT mesh
+    # (test_backface_cull_exact_on_closed_mesh); halves per-tile face load
+    t.mr_cull_backface = True
     t.dpsr_div_splat = True
     t.dpsr_fft_matmul = True
     t.mlp_bf16 = False

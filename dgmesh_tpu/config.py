@@ -148,6 +148,13 @@ class TpuParams:
                                           # HBM/matmul pipelining; keep 0
     dpsr_fft_matmul: bool = False         # MXU matmul-DFT Poisson solve (fast
                                           # on TPU; needs dpsr_div_splat)
+    mr_cull_backface: bool = False        # drop back-facing mesh triangles
+                                          # before binning (marching-tets
+                                          # meshes are closed with consistent
+                                          # outward winding, so the z-buffer
+                                          # image is bit-identical); halves
+                                          # per-tile face load at high grid
+                                          # resolutions
     mt_narrow_band: bool = False          # narrow-band marching-tets cube
                                           # compaction (exact lax.cond
                                           # fallback); ~50 ms/step faster on

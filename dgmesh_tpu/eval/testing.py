@@ -30,6 +30,7 @@ from ..utils_io import save_image, write_mesh_ply
 def render_frame(ctx: StepContext, state, batch, sh_degree: int,
                  with_mesh: bool = True):
     """One inference render: returns dict with gs image, mesh image, mask, mesh."""
+    ctx = ctx.f32()  # eval/metric path: nets always apply f32 (mixed-precision policy)
     gp, gs, nets = state.gp, state.gs, state.nets
     flags = StepFlags(warm=False, mesh=with_mesh, use_normal=with_mesh,
                       freeze_pos=False, sh_degree=sh_degree)
@@ -99,7 +100,7 @@ def export_dynamic_meshes(cfg: Config, trainer, scene, out_dir: str,
     dump used for the CD/EMD evaluation against GT mesh sequences.
     """
     import functools
-    ctx = trainer.ctx
+    ctx = trainer.ctx.f32()  # exported meshes feed CD/EMD eval: f32 nets
     state = trainer.state
     os.makedirs(out_dir, exist_ok=True)
 

@@ -77,16 +77,20 @@ class Trainer:
         ctx = self.ctx
 
         def _anchor_fn(state: TrainState, batch: Batch, key):
+            # anchor geometry is precision-critical (search radius ~1.5e-3):
+            # always deform + apply in f32 regardless of mlp_bf16 (step.py
+            # StepContext.f32)
+            cf = ctx.f32()
             k1, k2 = jax.random.split(key)
             M = state.gp.xyz.shape[0]
             t_in = jnp.full((M, 1), batch.fid)
-            d_xyz, d_rot, d_scale, _ = ctx.nets_def.deform.apply(
+            d_xyz, d_rot, d_scale, _ = cf.nets_def.deform.apply(
                 state.nets.deform, state.gp.xyz, t_in)
-            d_normal = ctx.nets_def.deform_normal.apply(
+            d_normal = cf.nets_def.deform_normal.apply(
                 state.nets.deform_normal, state.gp.xyz, t_in)
-            mesh = extract_mesh(ctx, state.gp, state.gs, d_xyz, d_normal,
+            mesh = extract_mesh(cf, state.gp, state.gs, d_xyz, d_normal,
                                 freeze_pos=True)
-            return anchor_step(cfg, ctx.nets_def, state.gp, state.gs,
+            return anchor_step(cfg, cf.nets_def, state.gp, state.gs,
                                state.g_mu, state.g_nu, state.nets, batch.fid,
                                mesh.verts, mesh.faces, mesh.face_valid, k2)
 
@@ -98,7 +102,7 @@ class Trainer:
         self.reset_opacity_fn = jax.jit(reset_opacity)
         self.normal_init_fn = jax.jit(
             lambda gp, gs, nets, fid, key: normal_initialization(
-                cfg, ctx.nets_def, gp, gs, nets, fid, key,
+                cfg, ctx.f32().nets_def, gp, gs, nets, fid, key,
                 occ_res=min(cfg.model.grid_res, 256)))
 
     # ---- flag schedule (reference train.py gates) ----

@@ -80,7 +80,8 @@ class StepContext:
         self.mr_cfg = MR.MeshRasterConfig(
             width=width, height=height, tile_h=t.tile_h, tile_w=t.tile_w,
             max_per_tile=t.max_faces_per_tile, max_dup=t.max_face_dup,
-            tile_chunk=t.tile_chunk, use_pallas=t.use_pallas)
+            tile_chunk=t.tile_chunk, use_pallas=t.use_pallas,
+            cull_backface=t.mr_cull_backface)
         self.mt_cfg = MTConfig(res=cfg.model.grid_res, max_verts=t.max_verts,
                                max_faces=t.max_faces,
                                max_cubes=max(t.max_verts, t.max_faces // 2),
@@ -94,6 +95,33 @@ class StepContext:
                          div_mode="splat" if t.dpsr_div_splat else "spectral",
                          fft_impl="matmul" if t.dpsr_fft_matmul else "xla")
         self.nets_def = build_nets(cfg)
+        # f32 twins of the net *definitions* (same param trees, compute dtype
+        # pinned to f32): the per-phase mixed-precision policy.  mlp_bf16 only
+        # affects the gradient train steps; geometry-critical and metric paths
+        # (anchor mesh extraction + anchor applies, one-shot normal init,
+        # eval/test rendering, mesh export) always run f32 — bf16 trunk noise
+        # (~3e-3 rel) is comparable to anchor_search_radius and corrupts
+        # anchor partitions / reported metrics otherwise (STATUS r1 A/B).
+        if t.mlp_bf16:
+            self.nets_def_f32 = type(self.nets_def)(
+                *[m.clone(dtype=None, fuse=False) for m in self.nets_def])
+        else:
+            self.nets_def_f32 = self.nets_def
+        self._f32_view = None
+
+    def f32(self) -> "StepContext":
+        """A shallow view of this context whose nets apply in f32 — pass to
+        _deform_all / render_frame / _mesh_colors on precision-critical paths."""
+        if self.nets_def_f32 is self.nets_def:
+            return self
+        if self._f32_view is None:
+            import copy
+            v = copy.copy(self)
+            v.nets_def = self.nets_def_f32
+            v.nets_def_f32 = v.nets_def
+            v._f32_view = v  # idempotent: v.f32() is v
+            self._f32_view = v
+        return self._f32_view
 
 
 def _deform_all(ctx: StepContext, nets, xyz, fid, noise, flags: StepFlags):

@@ -153,3 +153,44 @@ def test_color_gradients():
 
     g = jax.grad(loss)(jnp.full((4, 3), 0.5))
     assert np.abs(np.asarray(g)).min() > 0  # every vertex color used
+
+
+def test_backface_cull_exact_on_closed_mesh():
+    """cull_backface must leave the z-buffer image bit-identical on a closed
+    outward-wound mesh (marching-tets winding guarantee) — dropped faces are
+    strictly occluded.  Soft silhouette may differ (back faces contribute
+    coverage terms) but the hard mask may not."""
+    from dgmesh_tpu.ops.marching_tets import MTConfig, marching_tets
+
+    res = 32
+    g = (np.arange(res) + 0.5) / res
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    phi = (np.sqrt((X - .5)**2 + (Y - .5)**2 + (Z - .5)**2) - 0.3)
+    m = marching_tets(jnp.asarray(phi, jnp.float32),
+                      MTConfig(res=res, max_verts=8192, max_faces=16384,
+                               max_cubes=8192))
+    nf = int(m.n_faces)
+    fv = np.zeros(16384, bool)
+    fv[:nf] = True
+    verts = (m.verts - 0.5) * 1.2
+    col = jnp.tile(jnp.asarray([[0.3, 0.6, 0.9]]), (verts.shape[0], 1))
+
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = 2.5
+    cam = cameras.camera_from_c2w_blender(0, c2w, 0.8, 96, 96, 0.0)
+    pose = jnp.asarray(cam.mesh_pose())
+    proj = jnp.asarray(cameras.gl_projection_from_K(cam.intrinsics, 96, 96))
+
+    def render(cull):
+        cfg = mr.MeshRasterConfig(width=96, height=96, max_per_tile=256,
+                                  max_dup=1 << 18, tile_chunk=8,
+                                  cull_backface=cull)
+        return mr.render_mesh(verts, m.faces, jnp.asarray(fv), col, pose,
+                              proj, jnp.zeros(3), cfg, want_soft=True)
+
+    base, culled = render(False), render(True)
+    np.testing.assert_array_equal(np.asarray(base["rgb"]),
+                                  np.asarray(culled["rgb"]))
+    np.testing.assert_array_equal(np.asarray(base["mask"]),
+                                  np.asarray(culled["mask"]))
+    assert float(base["mask"].sum()) > 100  # actually rendered something
