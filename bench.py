@@ -69,6 +69,13 @@ def main():
     t.dpsr_fft_matmul = True
     t.mlp_bf16 = False
     t.mlp_fused = False
+    # quick-experiment env overrides (defaults above are the shipped config)
+    t.max_faces_per_tile = int(os.environ.get("BENCH_K_FACES",
+                                              t.max_faces_per_tile))
+    t.max_gaussians_per_tile = int(os.environ.get("BENCH_K_GAUSS",
+                                                  t.max_gaussians_per_tile))
+    t.mlp_bf16 = os.environ.get("BENCH_MLP_BF16", "0") == "1"
+    t.mr_cull_backface = os.environ.get("BENCH_CULL", "1") == "1"
 
     rng = np.random.default_rng(0)
     d = rng.normal(size=(N_GAUSS, 3))
@@ -121,7 +128,10 @@ def main():
         ips = n_iters / (time.time() - t0)
         print(f"# window {w}: {ips:.3f} it/s "
               f"(mesh V={int(metrics.get('mesh_n_verts', 0))} "
-              f"F={int(metrics.get('mesh_n_faces', 0))})",
+              f"F={int(metrics.get('mesh_n_faces', 0))} "
+              f"ovf s/m/r={int(metrics.get('splat_overflow', 0))}/"
+              f"{int(metrics.get('mesh_overflow', 0))}/"
+              f"{int(metrics.get('raster_overflow', 0))})",
               file=sys.stderr, flush=True)
         best = max(best, ips)
     ips = best

@@ -76,6 +76,8 @@ def eval_pair(gt_path, pred_path, rotate, cam_origin=None, emd_samples=8192):
 
 
 def main(argv=None):
+    from . import apply_platform_override
+    apply_platform_override()
     parser = argparse.ArgumentParser()
     parser.add_argument("--gt_dir", required=True,
                         help="directory of per-frame GT .obj meshes")

@@ -14,6 +14,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from . import apply_platform_override
+    apply_platform_override()
     parser = argparse.ArgumentParser()
     from ..config import add_config_args, config_from_args
     parser.add_argument("--config", type=str, default=None)

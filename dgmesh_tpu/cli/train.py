@@ -19,6 +19,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from . import apply_platform_override
+    apply_platform_override()
     parser = argparse.ArgumentParser(description="dgmesh_tpu trainer")
     from ..config import add_config_args, config_from_args
     parser.add_argument("--config", type=str, default=None)
