@@ -67,14 +67,17 @@ def main():
     t.mr_cull_backface = True
     t.dpsr_div_splat = True
     t.dpsr_fft_matmul = True
-    t.mlp_bf16 = False
+    # bf16 trunk matmuls are safe on gradient steps under the per-phase
+    # precision policy (anchor geometry / eval always run the f32 twins via
+    # StepContext.f32()); measured +6% step throughput at this workload.
+    t.mlp_bf16 = True
     t.mlp_fused = False
     # quick-experiment env overrides (defaults above are the shipped config)
     t.max_faces_per_tile = int(os.environ.get("BENCH_K_FACES",
                                               t.max_faces_per_tile))
     t.max_gaussians_per_tile = int(os.environ.get("BENCH_K_GAUSS",
                                                   t.max_gaussians_per_tile))
-    t.mlp_bf16 = os.environ.get("BENCH_MLP_BF16", "0") == "1"
+    t.mlp_bf16 = os.environ.get("BENCH_MLP_BF16", "1") == "1"
     t.mr_cull_backface = os.environ.get("BENCH_CULL", "1") == "1"
 
     rng = np.random.default_rng(0)

@@ -18,8 +18,10 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def fftfreqs3(res: Tuple[int, int, int]):
@@ -49,24 +51,74 @@ def spec_gaussian_filter(res, sig: float):
     return jnp.asarray(filt, jnp.float32)
 
 
+def _base_and_hats(points, res):
+    """Wrapped base cell index (N,3) in [0,res) and per-axis hat weights.
+
+    Returns (i0, H) with H: (N,3,2), H[:,k,b] = hat weight of axis k at
+    corner bit b (b=0: 1-frac, b=1: frac).  The 2x2x2 corner window of i0
+    stays inside a grid wrap-padded by one voxel per axis.
+    """
+    r = jnp.asarray(res, jnp.float32)
+    scaled = points * r
+    i0f = jnp.floor(scaled)
+    frac = scaled - i0f
+    i0 = jnp.mod(i0f.astype(jnp.int32), jnp.asarray(res, jnp.int32))
+    return i0, jnp.stack([1.0 - frac, frac], axis=-1)
+
+
+def _corner_weights(H):
+    """(N,3,2) per-axis hats → (N,2,2,2) trilinear corner weights (pure
+    broadcasting; no dot, so f32 exact on the VPU)."""
+    return (H[:, 0, :, None, None] * H[:, 1, None, :, None]
+            * H[:, 2, None, None, :])
+
+
+def _wrap_pad(grid):
+    """Pad a periodic grid by one voxel on the high side of each spatial axis
+    (channels, if any, untouched) so a 2x2x2 window at any in-range base index
+    is a contiguous in-bounds slice.  jnp.pad(mode='wrap') is differentiable —
+    its VJP folds the padded faces' cotangents back, preserving periodicity."""
+    pad = [(0, 1)] * 3 + [(0, 0)] * (grid.ndim - 3)
+    return jnp.pad(grid, pad, mode="wrap")
+
+
+def _fold_wrap(grid_p):
+    """Inverse of _wrap_pad for scatters: add the high faces back onto the low
+    faces axis by axis (edges/corners compose correctly)."""
+    for ax in range(3):
+        r = grid_p.shape[ax] - 1
+        lo = lax.slice_in_dim(grid_p, 0, r, axis=ax)
+        hi = lax.slice_in_dim(grid_p, r, r + 1, axis=ax)
+        upd = lax.slice_in_dim(lo, 0, 1, axis=ax) + hi
+        grid_p = lax.dynamic_update_slice_in_dim(lo, upd, 0, axis=ax)
+    return grid_p
+
+
+def _window_scatter_add(val, i0, res, channels=None):
+    """ONE scatter-add of (N,2,2,2[,C]) corner windows into a periodic res³
+    grid.  Cost on TPU is per-INDEX (DESIGN.md cost model), so one window
+    scatter replaces 8 per-corner scatters at 1/8 the index traffic."""
+    shape = tuple(s + 1 for s in res) + (() if channels is None else (channels,))
+    dn = lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3) + (() if channels is None else (4,)),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1, 2))
+    g = lax.scatter_add(jnp.zeros(shape, val.dtype), i0, val, dn,
+                        indices_are_sorted=False, unique_indices=False,
+                        mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return _fold_wrap(g)
+
+
 def point_rasterize(points, values, res):
     """Trilinear scatter of per-point vectors into a periodic grid.
 
     points: (N,3) in [0,1); values: (N,C).  Returns (res0,res1,res2,C).
     reference: dpsr_utils.point_rasterize :140-197 (periodic wrap via fmod).
     """
-    r = jnp.asarray(res, jnp.float32)
-    scaled = points * r                                  # grid coords
-    i0 = jnp.floor(scaled).astype(jnp.int32)
-    frac = scaled - i0.astype(jnp.float32)
-    grid = jnp.zeros(tuple(res) + (values.shape[-1],), values.dtype)
-    for corner in range(8):
-        cx, cy, cz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
-        off = jnp.asarray([cx, cy, cz], jnp.int32)
-        idx = (i0 + off) % jnp.asarray(res, jnp.int32)   # periodic wrap
-        w = jnp.prod(jnp.where(off == 1, frac, 1.0 - frac), axis=-1)
-        grid = grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].add(w[:, None] * values)
-    return grid
+    i0, H = _base_and_hats(points, res)
+    w = _corner_weights(H)                               # (N,2,2,2)
+    val = w[..., None] * values[:, None, None, None, :]
+    return _window_scatter_add(val, i0, tuple(res), channels=values.shape[-1])
 
 
 def div_rasterize(points, normals, res):
@@ -83,26 +135,21 @@ def div_rasterize(points, normals, res):
 
     points: (N,3) in [0,1); normals: (N,3).  Returns (res0,res1,res2).
     """
-    r = jnp.asarray(res, jnp.float32)
-    scaled = points * r
-    i0 = jnp.floor(scaled).astype(jnp.int32)
-    frac = scaled - i0.astype(jnp.float32)
-    grid = jnp.zeros(tuple(res), points.dtype)
-    w_lo = 1.0 - frac                                    # hat at corner bit 0
-    for corner in range(8):
-        off = np.asarray([(corner >> 2) & 1, (corner >> 1) & 1, corner & 1])
-        offj = jnp.asarray(off, jnp.int32)
-        idx = (i0 + offj) % jnp.asarray(res, jnp.int32)
-        hat = jnp.where(offj == 1, frac, w_lo)           # (N,3)
-        # ∂_{g_d}: hat factor on axis d replaced by +1 (bit 0) / -1 (bit 1);
-        # d/dx = res_d · d/dg.  Leading minus matches the reference's -iω.
-        val = 0.0
-        for dax in range(3):
-            others = [k for k in range(3) if k != dax]
-            dsign = -float(res[dax]) if off[dax] else float(res[dax])
-            val = val + (-dsign) * normals[:, dax] * hat[:, others[0]] * hat[:, others[1]]
-        grid = grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].add(val)
-    return grid
+    i0, H = _base_and_hats(points, res)
+    # ∂_{g_d}: the hat factor on axis d is replaced by its derivative
+    # (-1 at bit 0, +1 at bit 1); d/dx = res_d · d/dg.  Leading minus
+    # matches the reference's -iω, so coeff(d, bit) = bit ? +res_d : -res_d.
+    D = jnp.stack([-jnp.asarray(res, jnp.float32),
+                   jnp.asarray(res, jnp.float32)], axis=-1)  # (3,2)
+    n0, n1, n2 = normals[:, 0], normals[:, 1], normals[:, 2]
+    H0, H1, H2 = H[:, 0], H[:, 1], H[:, 2]                   # (N,2) each
+    val = (n0[:, None, None, None] * D[0][:, None, None]
+           * H1[:, None, :, None] * H2[:, None, None, :]
+           + n1[:, None, None, None] * D[1][None, :, None]
+           * H0[:, :, None, None] * H2[:, None, None, :]
+           + n2[:, None, None, None] * D[2][None, None, :]
+           * H0[:, :, None, None] * H1[:, None, :, None])
+    return _window_scatter_add(val, i0, tuple(res))
 
 
 def grid_interp(grid, points, res):
@@ -114,17 +161,21 @@ def grid_interp(grid, points, res):
     squeeze = grid.ndim == 3
     if squeeze:
         grid = grid[..., None]
-    r = jnp.asarray(res, jnp.float32)
-    scaled = points * r
-    i0 = jnp.floor(scaled).astype(jnp.int32)
-    frac = scaled - i0.astype(jnp.float32)
-    out = 0.0
-    for corner in range(8):
-        cx, cy, cz = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
-        off = jnp.asarray([cx, cy, cz], jnp.int32)
-        idx = (i0 + off) % jnp.asarray(res, jnp.int32)
-        w = jnp.prod(jnp.where(off == 1, frac, 1.0 - frac), axis=-1)
-        out = out + w[:, None] * grid[idx[:, 0], idx[:, 1], idx[:, 2]]
+    C = grid.shape[-1]
+    i0, H = _base_and_hats(points, res)
+    # ONE gather of contiguous 2x2x2xC windows from the wrap-padded grid
+    # (per-index cost model: 8x less index traffic than 8 corner gathers;
+    # the VJP is likewise ONE window scatter-add).
+    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2, 3, 4),
+                                    collapsed_slice_dims=(),
+                                    start_index_map=(0, 1, 2))
+    vals = lax.gather(_wrap_pad(grid), i0, dn,
+                      slice_sizes=(2, 2, 2, C),
+                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    # broadcast-multiply + sum (not einsum/dot: stays f32 on the VPU —
+    # TPU dot at default precision would round the weights to bf16)
+    w = _corner_weights(H)
+    out = jnp.sum(w[..., None] * vals, axis=(1, 2, 3))
     return out[..., 0] if squeeze else out
 
 

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .compaction import compact_indices
+from .lut import tiny_lut
 from .scan import rank_in_sorted, searchsorted1d
 
 # Cube corners, x-major bit layout: corner i = (i>>2 & 1, i>>1 & 1, i & 1).
@@ -289,7 +290,9 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     corner_in = (~((case8[:, None, None] >> tc[None]) & 1).astype(bool))  # (C,6,4)
     tet_case = sum(corner_in[..., v].astype(jnp.int32) << v for v in range(4))  # (C,6)
 
-    counts = _TRI_COUNT[jnp.arange(6)[None, :], tet_case]          # (C,6)
+    # gather-free lookup (tiny_lut): (C,6) indices into the 6x16 count table
+    counts = tiny_lut(jnp.arange(6, dtype=jnp.int32)[None, :] * 16 + tet_case,
+                      _TRI_COUNT_NP)                               # (C,6)
 
     tri_valid = (jnp.arange(2)[None, None, :] < counts[:, :, None]) \
         & face_src_ok[:, None, None]                               # (C,6,2)
@@ -303,16 +306,20 @@ def marching_tets(phi, cfg: MTConfig) -> MeshResult:
     ftet = frem // 2
     fk = frem % 2
     fcase = tet_case[fcube, ftet]                                  # (MAX_F,)
-    ftris = _TRI_TABLE[ftet, fcase, fk]                            # (MAX_F,3)
-    ftris = jnp.where(ftris >= 0, ftris, 0)
+    # tri table stored +1 so entries are non-negative for tiny_lut; the -1
+    # padding maps to 0 exactly as the old jnp.where(ftris >= 0, ftris, 0)
+    base = ((ftet * 16 + fcase) * 2 + fk) * 3
+    ftris = tiny_lut(base[:, None] + jnp.arange(3, dtype=jnp.int32)[None],
+                     _TRI_TABLE_NP + 1)                            # (MAX_F,3)
+    ftris = jnp.maximum(ftris - 1, 0)
     # anchor offset + class folded into ONE 6×6 table of global-edge-id
     # deltas: geid = (cube_gid + anchor_gid_delta)·7 + class
     #              = cube_gid·7 + (anchor_gid_delta·7 + class)
     a = _EDGE_ANCHOR_NP
-    geid_delta = jnp.asarray(
-        ((a[..., 0] * res + a[..., 1]) * res + a[..., 2]) * 7 + _EDGE_CLASS_NP)
+    geid_delta_np = (((a[..., 0] * res + a[..., 1]) * res + a[..., 2]) * 7
+                     + _EDGE_CLASS_NP)                             # (6,6) np
     face_geid = (cube_ids[fcube][:, None] * 7
-                 + geid_delta[ftet[:, None], ftris])               # (MAX_F,3)
+                 + tiny_lut(ftet[:, None] * 6 + ftris, geid_delta_np))
     if res * res * res * 7 < 2 ** 30:   # static: gid*2+tag fits int32
         vidx = rank_in_sorted(edge_gids, face_geid.reshape(-1), side="left")
     else:                               # grid_res > 512: key packing would

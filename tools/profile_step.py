@@ -19,6 +19,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def build_step():
     import jax
@@ -57,10 +59,18 @@ def build_step():
     t.max_face_dup = 1 << 20
     t.tile_chunk = 500
     t.use_pallas = True
+    t.mr_cull_backface = True
     t.dpsr_div_splat = True
     t.dpsr_fft_matmul = True
     t.mlp_bf16 = False
     t.mlp_fused = False
+    # same quick-experiment env knobs as bench.py so cached compiles are shared
+    t.max_faces_per_tile = int(os.environ.get("BENCH_K_FACES",
+                                              t.max_faces_per_tile))
+    t.max_gaussians_per_tile = int(os.environ.get("BENCH_K_GAUSS",
+                                                  t.max_gaussians_per_tile))
+    t.mlp_bf16 = os.environ.get("BENCH_MLP_BF16", "0") == "1"
+    t.mr_cull_backface = os.environ.get("BENCH_CULL", "1") == "1"
 
     rng = np.random.default_rng(0)
     d = rng.normal(size=(N_GAUSS, 3))
