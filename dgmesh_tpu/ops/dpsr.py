@@ -9,9 +9,11 @@ so the indicator is 0 at the input points and scale so the (0,0,0) corner is
 -0.5 (inside-negative convention... sign fixed downstream like
 utils/renderer.py:164-167).
 
-TPU notes: rfftn over a 288³ grid is XLA-native; the trilinear scatter is a
-single `.at[].add` with 8·N updates (deterministic segment-sum lowering, no
-atomics); everything is f32.
+TPU notes: rfftn over a 288³ grid is XLA-native; the trilinear splat is the
+SLAB-MATMUL rasterizer below (XLA lowers grid scatter-add as a serial while
+loop on TPU — measured ~950 ms/step at the bench workload before the r3
+rewrite; the slab formulation is zero-scatter and runs on the MXU);
+everything is f32, deterministic (no atomics anywhere).
 """
 
 from __future__ import annotations
@@ -109,23 +111,178 @@ def _window_scatter_add(val, i0, res, channels=None):
     return _fold_wrap(g)
 
 
-def point_rasterize(points, values, res):
-    """Trilinear scatter of per-point vectors into a periodic grid.
-
-    points: (N,3) in [0,1); values: (N,C).  Returns (res0,res1,res2,C).
-    reference: dpsr_utils.point_rasterize :140-197 (periodic wrap via fmod).
-    """
+def _window_point_rasterize(points, values, res):
+    """Scatter-based trilinear splat (reference semantics; serial on TPU)."""
     i0, H = _base_and_hats(points, res)
     w = _corner_weights(H)                               # (N,2,2,2)
     val = w[..., None] * values[:, None, None, None, :]
     return _window_scatter_add(val, i0, tuple(res), channels=values.shape[-1])
 
 
-def div_rasterize(points, normals, res):
+# ---------------------------------------------------------------------------
+# Slab-matmul rasterization — the TPU fast path.
+#
+# XLA lowers scatter-add into a 289³ grid as a SERIAL while loop of
+# dynamic-update-slices (~6µs per index: measured ~950 ms/step at the bench
+# workload, the single largest cost in the r3 profile).  The trilinear splat
+# is separable, so we reformulate it with zero scatters:
+#
+#   grid[i,j,k] = Σ_p hx[p,i]·hy[p,j]·hz[p,k]·v_p
+#
+#   1. duplicate each point into its 2 x-slabs (weight = x-hat / x-deriv),
+#   2. sort the 2N contributions by slab id (1M-element sorts are ~1.5 ms
+#      on TPU — cheap, unlike scatters),
+#   3. per slab i, slice its contributions (static cap P) and compute the
+#      (R,R) plane as ONE MXU matmul  plane = Hyᵀ @ (a ⊙ Hz)
+#      where Hy/Hz are dense per-axis hat matrices built by broadcasting
+#      relu(1 − |j − y·R|) against an iota (periodic via circular distance).
+#   4. stack the R planes — the grid materializes with no scatter at all.
+#
+# Cost: R · 2·R·P·R·C FLOPs ≈ 0.2 TFLOP at R=288, P=8192 → ~few ms on MXU.
+# Autodiff: sort (permutation), dynamic_slice (DUS-add VJP over contiguous
+# slices), relu-hats (elementwise), matmul — every VJP stage is TPU-friendly;
+# the slab body is jax.checkpoint'ed so the backward rematerializes Hy/Hz
+# instead of saving R of them.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _permute(x, perm):
+    """Gather x[perm] whose VJP is ALSO a gather (by the inverse permutation)
+    — the default transpose of a gather is a scatter-add, which XLA lowers
+    serially on TPU."""
+    return x[perm]
+
+
+def _permute_fwd(x, perm):
+    return x[perm], perm
+
+
+def _permute_bwd(perm, ct):
+    inv = jnp.argsort(perm)
+    return ct[inv], None
+
+
+_permute.defvjp(_permute_fwd, _permute_bwd)
+
+
+def _slab_p_cap(n, r):
+    """Static per-slab contribution capacity: cover an 8x concentration over
+    the uniform average (2N contributions over R slabs), floor 2048, and
+    never more than all contributions."""
+    avg = (2 * n + r - 1) // r
+    cap = max(2048, 8 * avg)
+    cap = -(-cap // 512) * 512
+    return min(cap, 2 * n)
+
+
+def _axis_hat(coord, r):
+    """Dense periodic hat matrix: (P,) grid-scaled coords → (P, R) weights
+    relu(1 − |circ(j − coord)|).  Piecewise-linear in coord (exact trilinear
+    weights, differentiable a.e. like the reference's autograd)."""
+    j = jnp.arange(r, dtype=jnp.float32)[None, :]
+    d = j - coord[:, None]
+    d = d - r * jnp.round(d / r)                  # circular distance
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _axis_dhat(coord, r):
+    """Dense periodic derivative-hat matrix: −R on the floor cell
+    (d ∈ (−1, 0]), +R on the ceil cell (d ∈ (0, 1)) — the analytic spatial
+    derivative of the hat, matching coeff(d,bit) = bit ? +R : −R."""
+    j = jnp.arange(r, dtype=jnp.float32)[None, :]
+    d = j - coord[:, None]
+    d = d - r * jnp.round(d / r)
+    rf = jnp.float32(r)
+    return jnp.where((d > -1.0) & (d <= 0.0), -rf,
+                     jnp.where((d > 0.0) & (d < 1.0), rf, 0.0))
+
+
+def _slab_sort(points, res, live=None):
+    """Common prep: duplicate to 2 x-slabs, sort by slab id.
+
+    Returns (order, slab_sorted, start) where ``order`` permutes the doubled
+    contribution arrays (contribution c = point c//2, x-bit c%2) and
+    ``start[i]`` is the first sorted position of slab i; callers gather their
+    payloads with ``order``.
+
+    ``live`` (2N,) bool: contributions that can deposit a nonzero value.
+    Dead ones (zero-normal padding gaussians — which all collapse onto the
+    grid-center slab because padded xyz rows are zeros) are keyed to a
+    virtual slab R beyond every slice window, so they can NEVER crowd real
+    contributions out of a full slab."""
+    r0 = res[0]
+    scaled = points[:, 0] * r0
+    i0f = jnp.floor(scaled)
+    i0 = jnp.mod(i0f.astype(jnp.int32), r0)
+    slab = jnp.stack([i0, jnp.mod(i0 + 1, r0)], -1).reshape(-1)   # (2N,)
+    if live is not None:
+        slab = jnp.where(live, slab, r0)
+    order = jnp.argsort(slab)
+    slab_sorted = slab[order]
+    start = jnp.searchsorted(slab_sorted, jnp.arange(r0, dtype=slab.dtype))
+    return order, slab_sorted, start
+
+
+def _slab_planes(slab_sorted, start, payload_sorted, res, p_cap, body):
+    """lax.scan over slabs: slice ≤p_cap contributions, mask, run ``body``
+    (payload slice → (R1,R2[,C]) plane), stack planes into the grid."""
+    r0 = res[0]
+
+    def scan_body(_, i):
+        s = start[i]
+        sl_slab = lax.dynamic_slice_in_dim(slab_sorted, s, p_cap)
+        mask = (sl_slab == i)
+        sl_pay = [lax.dynamic_slice_in_dim(p, s, p_cap) for p in payload_sorted]
+        return None, body(i, mask, sl_pay)
+
+    _, planes = lax.scan(jax.checkpoint(scan_body),
+                         None, jnp.arange(r0, dtype=jnp.int32))
+    return planes
+
+
+def point_rasterize(points, values, res, p_cap=None):
+    """Trilinear splat of per-point vectors into a periodic grid — slab-matmul
+    formulation (see block comment above; zero scatters on TPU).
+
+    points: (N,3) in [0,1); values: (N,C).  Returns (res0,res1,res2,C).
+    reference: dpsr_utils.point_rasterize :140-197 (periodic wrap via fmod).
+    """
+    r0, r1, r2 = res
+    n = points.shape[0]
+    c = values.shape[-1]
+    p_cap = p_cap or _slab_p_cap(n, r0)
+
+    scaled = points[:, 0] * r0
+    frac = scaled - jnp.floor(scaled)
+    hx = jnp.stack([1.0 - frac, frac], -1).reshape(-1)            # (2N,)
+    y = jnp.repeat(points[:, 1] * r1, 2)
+    z = jnp.repeat(points[:, 2] * r2, 2)
+    vals2 = jnp.repeat(values, 2, axis=0)                         # (2N,C)
+
+    live = jnp.repeat(jnp.any(values != 0.0, axis=-1), 2)
+    order, slab_sorted, start = _slab_sort(points, res, live)
+    payload = [_permute(a, order) for a in (hx, y, z, vals2)]
+
+    def body(i, mask, sl):
+        hx_s, y_s, z_s, v_s = sl
+        w = jnp.where(mask, hx_s, 0.0)[:, None] * v_s             # (P,C)
+        hy = _axis_hat(y_s, r1)                                   # (P,R1)
+        hz = _axis_hat(z_s, r2)                                   # (P,R2)
+        # plane[j,k,c] = Σ_p hy[p,j]·hz[p,k]·w[p,c]
+        rhs = hz[:, :, None] * w[:, None, :]                      # (P,R2,C)
+        return jax.lax.dot_general(
+            hy, rhs.reshape(p_cap, r2 * c), (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST).reshape(r1, r2, c)
+
+    return _slab_planes(slab_sorted, start, payload, res, p_cap, body)
+
+
+def div_rasterize(points, normals, res, p_cap=None):
     """Directly splat the (negated) divergence of the oriented point set.
 
     For each point the trilinear hat kernel's analytic spatial derivative is
-    scattered instead of the kernel itself:
+    deposited instead of the kernel itself:
       D(g) = -Σ_i Σ_d n_d(i) · res_d · ∂_{g_d} Π_k hat(g_k - p_k·res_k)
     This equals the reference's spectral divergence Σ_d -iω_d N̂_d up to the
     hat kernel's derivative being taken analytically rather than spectrally —
@@ -133,23 +290,97 @@ def div_rasterize(points, normals, res):
     "DPSR fast path").  One scalar grid instead of three → the Poisson solve
     needs 2 FFTs instead of 4 (and 2 instead of 4 in the VJP).
 
+    Slab-matmul formulation: the three divergence terms share the slab
+    decomposition and fold into TWO matmuls per slab,
+      plane = Hyᵀ @ (a₁·Hz + a₃·Dz) + Dyᵀ @ (a₂·Hz)
+    with a₁ = n₀·Dx (x-derivative term), a₂ = n₁·hx, a₃ = n₂·hx.
+
     points: (N,3) in [0,1); normals: (N,3).  Returns (res0,res1,res2).
     """
+    r0, r1, r2 = res
+    n = points.shape[0]
+    p_cap = p_cap or _slab_p_cap(n, r0)
+
+    scaled = points[:, 0] * r0
+    frac = scaled - jnp.floor(scaled)
+    hx = jnp.stack([1.0 - frac, frac], -1).reshape(-1)            # (2N,)
+    rf = jnp.float32(r0)
+    dx = jnp.stack([jnp.full_like(frac, -rf), jnp.full_like(frac, rf)],
+                   -1).reshape(-1)                                # (2N,)
+    n2x = jnp.repeat(normals, 2, axis=0)                          # (2N,3)
+    a1 = n2x[:, 0] * dx
+    a2 = n2x[:, 1] * hx
+    a3 = n2x[:, 2] * hx
+    y = jnp.repeat(points[:, 1] * r1, 2)
+    z = jnp.repeat(points[:, 2] * r2, 2)
+
+    live = jnp.repeat(jnp.any(normals != 0.0, axis=-1), 2)
+    order, slab_sorted, start = _slab_sort(points, res, live)
+    payload = [_permute(a, order) for a in (a1, a2, a3, y, z)]
+
+    def body(i, mask, sl):
+        a1_s, a2_s, a3_s, y_s, z_s = sl
+        a1_m = jnp.where(mask, a1_s, 0.0)[:, None]
+        a2_m = jnp.where(mask, a2_s, 0.0)[:, None]
+        a3_m = jnp.where(mask, a3_s, 0.0)[:, None]
+        hy = _axis_hat(y_s, r1)
+        hz = _axis_hat(z_s, r2)
+        dy = _axis_dhat(y_s, r1)
+        dz = _axis_dhat(z_s, r2)
+        rhs1 = a1_m * hz + a3_m * dz                              # (P,R2)
+        p1 = jax.lax.dot_general(hy, rhs1, (((0,), (0,)), ((), ())),
+                                 precision=lax.Precision.HIGHEST)
+        p2 = jax.lax.dot_general(dy, a2_m * hz, (((0,), (0,)), ((), ())),
+                                 precision=lax.Precision.HIGHEST)
+        return p1 + p2
+
+    return _slab_planes(slab_sorted, start, payload, res, p_cap, body)
+
+
+def _grid_interp_impl(grid, points, res):
+    """Trilinear gather from a periodic grid (4-D grid, (N,C) out)."""
+    C = grid.shape[-1]
     i0, H = _base_and_hats(points, res)
-    # ∂_{g_d}: the hat factor on axis d is replaced by its derivative
-    # (-1 at bit 0, +1 at bit 1); d/dx = res_d · d/dg.  Leading minus
-    # matches the reference's -iω, so coeff(d, bit) = bit ? +res_d : -res_d.
-    D = jnp.stack([-jnp.asarray(res, jnp.float32),
-                   jnp.asarray(res, jnp.float32)], axis=-1)  # (3,2)
-    n0, n1, n2 = normals[:, 0], normals[:, 1], normals[:, 2]
-    H0, H1, H2 = H[:, 0], H[:, 1], H[:, 2]                   # (N,2) each
-    val = (n0[:, None, None, None] * D[0][:, None, None]
-           * H1[:, None, :, None] * H2[:, None, None, :]
-           + n1[:, None, None, None] * D[1][None, :, None]
-           * H0[:, :, None, None] * H2[:, None, None, :]
-           + n2[:, None, None, None] * D[2][None, None, :]
-           * H0[:, :, None, None] * H1[:, None, :, None])
-    return _window_scatter_add(val, i0, tuple(res))
+    # ONE gather of contiguous 2x2x2xC windows from the wrap-padded grid
+    # (per-index cost model: 8x less index traffic than 8 corner gathers).
+    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2, 3, 4),
+                                    collapsed_slice_dims=(),
+                                    start_index_map=(0, 1, 2))
+    vals = lax.gather(_wrap_pad(grid), i0, dn,
+                      slice_sizes=(2, 2, 2, C),
+                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    # broadcast-multiply + sum (not einsum/dot: stays f32 on the VPU —
+    # TPU dot at default precision would round the weights to bf16)
+    w = _corner_weights(H)
+    return jnp.sum(w[..., None] * vals, axis=(1, 2, 3))
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _grid_interp4(grid, points, res):
+    return _grid_interp_impl(grid, points, res)
+
+
+def _grid_interp4_fwd(grid, points, res):
+    return _grid_interp_impl(grid, points, res), (grid, points)
+
+
+def _grid_interp4_bwd(res, resids, ct):
+    """Grid cotangent = trilinear SPLAT of the per-point cotangents — routed
+    through the slab-matmul rasterizer instead of the gather's transpose
+    (XLA lowers that scatter-add as a serial while loop on TPU, ~170 ms/call
+    at the bench workload).  Point cotangent via autodiff of the gather-only
+    path (gathers are fast; only their transpose is not)."""
+    grid, points = resids
+    _, vjp_p = jax.vjp(lambda p: _grid_interp_impl(grid, p, res), points)
+    g_points, = vjp_p(ct)
+    g_grid = point_rasterize(points, ct, res)
+    return g_grid, g_points
+
+
+_grid_interp4.defvjp(_grid_interp4_fwd, _grid_interp4_bwd)
 
 
 def grid_interp(grid, points, res):
@@ -161,21 +392,7 @@ def grid_interp(grid, points, res):
     squeeze = grid.ndim == 3
     if squeeze:
         grid = grid[..., None]
-    C = grid.shape[-1]
-    i0, H = _base_and_hats(points, res)
-    # ONE gather of contiguous 2x2x2xC windows from the wrap-padded grid
-    # (per-index cost model: 8x less index traffic than 8 corner gathers;
-    # the VJP is likewise ONE window scatter-add).
-    dn = lax.GatherDimensionNumbers(offset_dims=(1, 2, 3, 4),
-                                    collapsed_slice_dims=(),
-                                    start_index_map=(0, 1, 2))
-    vals = lax.gather(_wrap_pad(grid), i0, dn,
-                      slice_sizes=(2, 2, 2, C),
-                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    # broadcast-multiply + sum (not einsum/dot: stays f32 on the VPU —
-    # TPU dot at default precision would round the weights to bf16)
-    w = _corner_weights(H)
-    out = jnp.sum(w[..., None] * vals, axis=(1, 2, 3))
+    out = _grid_interp4(grid, points, tuple(res))
     return out[..., 0] if squeeze else out
 
 

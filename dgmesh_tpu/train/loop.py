@@ -245,6 +245,16 @@ class Trainer:
                         + (f"mesh_psnr={m.get('mesh_psnr', 0):.2f} " if "mesh_psnr" in m else "")
                         + f"alive={int(m.get('n_alive', 0))} "
                         f"it/s={m['iters_per_sec']:.2f}")
+                # capacity truncation is a quality bug, not a curiosity —
+                # surface it on the console line (VERDICT r2 weak #2)
+                if m.get("mesh_overflow", 0) > 0:
+                    line += (f"  !! MESH OVERFLOW {int(m['mesh_overflow'])} "
+                             f"(V={int(m.get('mesh_n_verts', 0))}/"
+                             f"F={int(m.get('mesh_n_faces', 0))} at caps — "
+                             f"raise max_verts/max_faces)")
+                if m.get("splat_overflow", 0) > 0 or m.get("raster_overflow", 0) > 0:
+                    line += (f"  [tile-K ovf s={int(m.get('splat_overflow', 0))} "
+                             f"r={int(m.get('raster_overflow', 0))}]")
                 print(line, flush=True)
                 if on_log:
                     on_log(m)

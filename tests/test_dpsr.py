@@ -169,3 +169,102 @@ def test_dpsr_splat_mode_training_scale():
     band = np.abs(phi_s) < 0.1      # the band marching-tets actually reads
     band_rms = float(np.sqrt(((phi_s[band] - phi_f[band]) ** 2).mean()))
     assert band_rms < 0.02, band_rms
+
+
+def test_slab_matmul_matches_window_scatter():
+    """The slab-matmul rasterizer (TPU fast path, zero scatters) must equal
+    the window-scatter reference implementation to float tolerance — both
+    for the C-channel splat and the divergence splat."""
+    from dgmesh_tpu.ops import dpsr as D
+    rng = np.random.default_rng(3)
+    n = 700
+    pts = jnp.asarray(rng.random((n, 3)), jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    res = (24, 24, 24)
+
+    ref = D._window_point_rasterize(pts, vals, res)
+    got = D.point_rasterize(pts, vals, res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+    # divergence splat vs an explicit window-scatter of the same coeffs
+    i0, H = D._base_and_hats(pts, res)
+    Dc = jnp.stack([-jnp.asarray(res, jnp.float32),
+                    jnp.asarray(res, jnp.float32)], axis=-1)
+    n0, n1, n2 = vals[:, 0], vals[:, 1], vals[:, 2]
+    H0, H1, H2 = H[:, 0], H[:, 1], H[:, 2]
+    val = (n0[:, None, None, None] * Dc[0][:, None, None]
+           * H1[:, None, :, None] * H2[:, None, None, :]
+           + n1[:, None, None, None] * Dc[1][None, :, None]
+           * H0[:, :, None, None] * H2[:, None, None, :]
+           + n2[:, None, None, None] * Dc[2][None, None, :]
+           * H0[:, :, None, None] * H1[:, None, :, None])
+    ref_div = D._window_scatter_add(val, i0, res)
+    got_div = D.div_rasterize(pts, vals, res)
+    np.testing.assert_allclose(np.asarray(got_div), np.asarray(ref_div),
+                               atol=5e-3, rtol=1e-4)
+
+
+def test_slab_p_cap_no_truncation_on_surface_cloud():
+    """The p_cap heuristic (8x the uniform per-slab average) must hold a
+    surface point cloud with zero dropped contributions — the training
+    regime (gaussians hugging an isosurface)."""
+    from dgmesh_tpu.ops import dpsr as D
+    rng = np.random.default_rng(0)
+    n, r = 20000, 48
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = (0.5 + 0.35 * d).astype(np.float32)
+    slab = np.floor(pts[:, 0] * r).astype(np.int64)
+    counts = np.bincount(np.concatenate([slab, (slab + 1) % r]), minlength=r)
+    assert counts.max() <= D._slab_p_cap(n, r), (
+        f"slab overflow: max {counts.max()} vs cap {D._slab_p_cap(n, r)}")
+
+
+def test_grid_interp_grid_gradient_matches_rasterize():
+    """grid_interp's custom VJP: the grid cotangent must equal the trilinear
+    splat of the output cotangents (finite-check vs autodiff of the plain
+    gather impl)."""
+    from dgmesh_tpu.ops import dpsr as D
+    rng = np.random.default_rng(1)
+    res = (12, 12, 12)
+    grid = jnp.asarray(rng.normal(size=res + (2,)), jnp.float32)
+    pts = jnp.asarray(rng.random((50, 3)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(50, 2)), jnp.float32)
+
+    _, vjp = jax.vjp(lambda g, p: D.grid_interp(g, p, res), grid, pts)
+    g_grid, g_pts = vjp(ct)
+    _, vjp_ref = jax.vjp(lambda g, p: D._grid_interp_impl(g, p, res),
+                         grid, pts)
+    r_grid, r_pts = vjp_ref(ct)
+    np.testing.assert_allclose(np.asarray(g_grid), np.asarray(r_grid),
+                               atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_pts), np.asarray(r_pts),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_dead_padding_cannot_crowd_out_live_contributions():
+    """Zero-normal padded gaussians all collapse onto the grid-center slab
+    (padded xyz rows are zeros -> p01 = 0.5).  They must be keyed out of the
+    slab windows so a fragmented alive layout can never push REAL
+    contributions past p_cap (r3 robustness fix)."""
+    from dgmesh_tpu.ops import dpsr as D
+    rng = np.random.default_rng(7)
+    res = (16, 16, 16)
+    # 64 live points spread through the center slab x ~ 0.5
+    live_pts = np.column_stack([
+        np.full(64, 0.5) + 0.01 * rng.standard_normal(64),
+        rng.random(64), rng.random(64)]).astype(np.float32)
+    live_nrm = rng.normal(size=(64, 3)).astype(np.float32)
+    # 4000 dead points EXACTLY at 0.5 (padding layout), interleaved first
+    dead_pts = np.full((4000, 3), 0.5, np.float32)
+    dead_nrm = np.zeros((4000, 3), np.float32)
+    pts = jnp.asarray(np.concatenate([dead_pts, live_pts]))
+    nrm = jnp.asarray(np.concatenate([dead_nrm, live_nrm]))
+
+    # p_cap heuristic is ~2048 min; 2*4064 contributions all in 2-3 slabs
+    # would overflow it if dead entries occupied window slots
+    ref = D.div_rasterize(jnp.asarray(live_pts), jnp.asarray(live_nrm), res)
+    got = D.div_rasterize(pts, nrm, res)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=5e-3, rtol=1e-4)

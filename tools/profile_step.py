@@ -24,13 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_step():
     import jax
-    import jax.numpy as jnp
-    from dgmesh_tpu.config import Config
-    from dgmesh_tpu.cameras import camera_from_c2w_blender
-    from dgmesh_tpu.train.loop import make_batch
-    from dgmesh_tpu.train.state import init_state
-    from dgmesh_tpu.train.step import StepContext, StepFlags, train_step
-
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
@@ -39,67 +34,12 @@ def build_step():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     except Exception:
         pass
-
-    W = H = 800
-    GRID = 288
-    N_GAUSS = 100_000
-
-    cfg = Config()
-    cfg.model.is_blender = True
-    cfg.model.grid_res = GRID
-    cfg.model.sh_degree = 3
-    cfg.optimization.dpsr_sig = 3.0
-    t = cfg.tpu
-    t.max_gaussians = 131_072
-    t.max_verts = 262_144
-    t.max_faces = 524_288
-    t.max_gaussians_per_tile = 384
-    t.max_dup = 1 << 20
-    t.max_faces_per_tile = 96
-    t.max_face_dup = 1 << 20
-    t.tile_chunk = 500
-    t.use_pallas = True
-    t.mr_cull_backface = True
-    t.dpsr_div_splat = True
-    t.dpsr_fft_matmul = True
-    t.mlp_bf16 = False
-    t.mlp_fused = False
-    # same quick-experiment env knobs as bench.py so cached compiles are shared
-    t.max_faces_per_tile = int(os.environ.get("BENCH_K_FACES",
-                                              t.max_faces_per_tile))
-    t.max_gaussians_per_tile = int(os.environ.get("BENCH_K_GAUSS",
-                                                  t.max_gaussians_per_tile))
-    t.mlp_bf16 = os.environ.get("BENCH_MLP_BF16", "0") == "1"
-    t.mr_cull_backface = os.environ.get("BENCH_CULL", "1") == "1"
-
-    rng = np.random.default_rng(0)
-    d = rng.normal(size=(N_GAUSS, 3))
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    r = 0.45 + 0.05 * rng.random((N_GAUSS, 1))
-    pts = (d * r).astype(np.float32)
-    cols = rng.random((N_GAUSS, 3)).astype(np.float32)
-
-    state = init_state(cfg, pts, cols)
-    d_pad = np.zeros((t.max_gaussians, 3), np.float32)
-    d_pad[:N_GAUSS] = d
-    state = state._replace(gp=state.gp._replace(
-        normal=jnp.asarray(d_pad) * state.gs.alive[:, None],
-        scaling=jnp.where(state.gs.alive[:, None],
-                          jnp.log(jnp.asarray(0.01)), state.gp.scaling)))
-
-    c2w = np.eye(4, dtype=np.float32)
-    c2w[2, 3] = 2.5
-    img = rng.random((H, W, 3)).astype(np.float32)
-    cam = camera_from_c2w_blender(0, c2w, 0.8, W, H, 0.5, image=img,
-                                  alpha_mask=np.ones((H, W, 1), np.float32))
-    batch = make_batch(cam, 0.01, np.zeros(3, np.float32))
-
-    ctx = StepContext(cfg, W, H)
-    flags = StepFlags(warm=False, mesh=True, freeze_pos=False, use_normal=True,
-                      anchor=False, densify_stats=False, sh_degree=3)
-    # donate_argnums matches bench.py so the persistent compile cache hits.
-    step = jax.jit(lambda st, b, k: train_step(ctx, st, b, k, flags, None),
-                   donate_argnums=(0,))
+    import jax.numpy as jnp
+    # single source of truth: the EXACT bench workload + knobs (bench.build
+    # honors the same BENCH_* env overrides), so the persistent compile cache
+    # is shared and the profiled graph is the benched graph.
+    import bench
+    step, state, batch = bench.build(jax, jnp)
     return jax, step, state, batch
 
 
@@ -194,20 +134,20 @@ def main():
     jax, step, state, batch = build_step()
     key = jax.random.PRNGKey(0)
     t0 = time.time()
-    state, metrics = step(state, batch, key)
+    _, metrics = step(state, batch, key)
     jax.block_until_ready(metrics["loss"])
     print(f"# compile+first: {time.time() - t0:.1f}s", flush=True)
-    # warm
+    # warm (frozen state, same as bench.py)
     for _ in range(2):
         key, k = jax.random.split(key)
-        state, metrics = step(state, batch, k)
+        _, metrics = step(state, batch, k)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.time()
     with jax.profiler.trace(trace_dir):
         for _ in range(2):
             key, k = jax.random.split(key)
-            state, metrics = step(state, batch, k)
+            _, metrics = step(state, batch, k)
         jax.block_until_ready(metrics["loss"])
     print(f"# traced 2 steps in {time.time() - t0:.2f}s", flush=True)
     summarize(trace_dir)
