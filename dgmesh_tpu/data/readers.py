@@ -498,36 +498,84 @@ def read_plenoptic_scene(path: str, eval_split: bool = True,
 def read_finetune_nerf_scene(path: str, white_background: bool = False,
                              eval_split: bool = True, mesh_path: str = None,
                              mesh_path_test: str = None, cam_scale: float = 1.0,
-                             **kw) -> SceneInfo:
-    """finetune-nerf format (dataset_readers.py:355-453): Blender-style
-    transforms where every frame carries a per-frame GT mesh
-    (frame_<N>.ply under mesh_path) attached to the camera record; camera
-    translation optionally scaled by cam_scale (:380)."""
-    info = read_blender_scene(path, white_background=white_background,
-                              eval_split=eval_split,
-                              max_frames=kw.get("max_frames"),
-                              downsample=kw.get("downsample", 1.0))
+                             extension: str = ".png",
+                             max_frames: Optional[int] = None,
+                             downsample: float = 1.0, **kw) -> SceneInfo:
+    """Dedicated finetune-nerf loader (dataset_readers.py:355-453).
 
-    def attach(cams, mdir):
-        if not mdir:
-            return cams
-        from ..utils_io import read_mesh_ply
-        out = []
-        for cam in cams:
-            try:
-                n = int(os.path.splitext(cam.image_name)[0].split("_")[1])
-                mv, mf = read_mesh_ply(os.path.join(mdir, f"frame_{n}.ply"))
-            except (FileNotFoundError, IndexError, ValueError):
-                mv = mf = None
-            cam.mesh_verts, cam.mesh_faces = mv, mf
-            if cam_scale != 1.0:
-                cam.T = cam.T * cam_scale
-            out.append(cam)
-        return out
+    Differences from the plain Blender loader it used to alias:
+      * `time` is required per frame (:370) — no index fallback;
+      * camera translation is scaled by `cam_scale` (:380, "assume camera
+        facing the center");
+      * the reference swaps the FoVs — `FovY = fovx; FovX = fovy` (:399-401).
+        Equal for square images, reproduced verbatim for parity on
+        non-square ones;
+      * every frame loads its GT mesh `frame_<N>.ply` with N parsed from the
+        image name's `_`-split (:403-407) — missing mesh is a hard error in
+        the reference (trimesh.load raises), same here when mesh_path is set;
+      * missing points3d.ply → random 100k cloud in [-1.3, 1.3] (:432-441).
+    """
+    from ..utils_io import read_mesh_ply
 
-    info.train_cameras[:] = attach(info.train_cameras, mesh_path)
-    info.test_cameras[:] = attach(info.test_cameras, mesh_path_test)
-    return info
+    def read_split(transformsfile, mdir):
+        fname = os.path.join(path, transformsfile)
+        if not os.path.exists(fname):
+            return []
+        with open(fname) as f:
+            meta = json.load(f)
+        fovx = meta["camera_angle_x"]
+        frames = meta["frames"]
+        if max_frames:
+            frames = frames[:max_frames]
+        cams = []
+        for i, fr in enumerate(frames):
+            img_path = os.path.join(path, fr["file_path"] + extension)
+            if not os.path.exists(img_path):
+                img_path = os.path.join(path, fr["file_path"])
+            image, alpha = _load_image(img_path, white_background, downsample)
+            H, W = image.shape[:2]
+            fid = float(fr["time"])  # required in this format (:370)
+            c2w = np.asarray(fr["transform_matrix"], np.float64)
+            flip = c2w.copy()
+            flip[:3, 1:3] *= -1  # blender→opencv (:374)
+            w2c = np.linalg.inv(flip)
+            R = np.transpose(w2c[:3, :3])
+            T = w2c[:3, 3] * cam_scale  # (:380)
+            # reference quirk: fovy is computed then the two are SWAPPED
+            # (:399-401) — FovY gets camera_angle_x, FovX the derived value
+            fovy_derived = focal2fov(fov2focal(fovx, W), H)
+            image_name = os.path.splitext(os.path.basename(img_path))[0]
+            mv = mf = None
+            if mdir:
+                frame_num = int(image_name.split("_")[1])  # (:404)
+                mv, mf = read_mesh_ply(
+                    os.path.join(mdir, f"frame_{frame_num}.ply"))
+            cams.append(Camera(
+                uid=i, R=R.astype(np.float32), T=T.astype(np.float32),
+                fovx=fovy_derived, fovy=fovx, image=image, alpha_mask=alpha,
+                fid=fid, width=W, height=H, image_name=image_name,
+                orig_transform=c2w.astype(np.float32),
+                mesh_verts=mv, mesh_faces=mf))
+        return cams
+
+    train_cams = read_split("transforms_train.json", mesh_path)
+    test_cams = read_split("transforms_test.json", mesh_path_test)
+    if not eval_split:  # (:421-423)
+        train_cams = train_cams + test_cams
+        test_cams = []
+
+    ply_path = os.path.join(path, "points3d.ply")
+    if os.path.exists(ply_path):
+        pc = load_points_ply(ply_path)
+    else:
+        rng = np.random.default_rng(0)
+        n = 100_000
+        pc = PointCloud(points=(rng.random((n, 3)).astype(np.float32) * 2.6 - 1.3),
+                        colors=rng.random((n, 3)).astype(np.float32))
+    return SceneInfo(point_cloud=pc, train_cameras=train_cams,
+                     test_cameras=test_cams,
+                     nerf_normalization=get_nerfpp_norm(train_cams or test_cams),
+                     ply_path=ply_path if os.path.exists(ply_path) else None)
 
 
 # registry mirrors sceneLoadTypeCallbacks (dataset_readers.py:995-1004)

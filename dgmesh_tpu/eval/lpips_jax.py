@@ -21,6 +21,12 @@ Offline weight conversion (run on any machine with egress + torch `lpips`):
 then drop the files in $DGMESH_LPIPS_DIR (or ~/.cache/dgmesh_tpu/), named
 ``lpips_<net>.npz``; a single file can also be pinned with
 $DGMESH_LPIPS_WEIGHTS_<NET> (e.g. ..._ALEX).
+
+Validation status (r3): tests/test_lpips_torch_agreement.py rebuilds this
+exact graph in raw torch with identical random weights and pins agreement to
+~1e-4 for both nets — so with weights supplied, correctness reduces to
+convert_torch_lpips's mechanical key-for-key state_dict dump.  What remains
+unverifiable without egress is only the pretrained values themselves.
 """
 
 from __future__ import annotations

@@ -39,8 +39,9 @@ def tiny_lut(idx, table):
     tree, and the entry is extracted with shift+mask.
     """
     flat = np.asarray(table).reshape(-1).astype(np.int64)
-    assert flat.size > 0 and flat.min() >= 0 and flat.max() < (1 << 31), \
-        "tiny_lut requires non-negative int32 values"
+    if flat.size == 0 or flat.min() < 0 or flat.max() >= (1 << 31):
+        # not an assert: under python -O a bad table would silently mis-pack
+        raise ValueError("tiny_lut requires non-negative int32 values")
     bits = max(int(flat.max()).bit_length(), 1)
     per = 32 // bits
     per = 1 << (per.bit_length() - 1) if per >= 1 else 1  # power of two

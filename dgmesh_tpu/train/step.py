@@ -263,8 +263,22 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
         aux["mesh_n_faces"] = mesh.n_faces
         aux["raster_overflow"] = mout["aux"]["tile_overflow"]
 
-    # --- anchor loss (train.py:287-304; differentiable 1-1 term only —
-    # the n-1 term is computed under no_grad in the reference) ---
+    # --- anchor loss (train.py:287-304) ---
+    # The 1-1 term is differentiable through means3d (reference: knn_points on
+    # get_xyz + deform.step(get_xyz.detach()), anchor :749-762 — gradient into
+    # the deform net; the get_xyz gradient is discarded because anchor
+    # iterations skip the gaussian optimizer step).
+    # The n-1 term enters as a stop-gradient CONSTANT.  In the reference it is
+    # nominally "on the graph" (average_and_prune masked-selects _xyz,
+    # gaussian_model_dpsr_dynamic_anchor.py:603), but that path is dead for
+    # every parameter the optimizer updates: both deform applications inside
+    # average_and_prune run under torch.no_grad (:616-622, :631-637), and
+    # prune_points replaces the _xyz Parameter object in the optimizer BEFORE
+    # loss.backward() runs (anchor_mesh at train.py:295 precedes backward at
+    # :321) — so the n-1 gradient accumulates only into the orphaned
+    # pre-prune tensor that optimizer.step() never sees.  Pinned by
+    # tests/test_anchor_gradient_parity.py with a torch repro of the
+    # reference's prune-then-backward pattern.
     if flags.anchor and anchor_info is not None:
         cent = anchor_info["centroid_of_gaussian"]       # (M,3) sg
         w = anchor_info["gauss_1_1_mask"]                # (M,) sg

@@ -22,6 +22,35 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def _parity_at(cfg, img, rtol):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from dgmesh_tpu.parallel.sharding import make_mesh, state_shardings
+    from dgmesh_tpu.train.step import StepFlags, train_step
+
+    ctx, state, batch = ge._make_state_and_batch(cfg, img)
+    flags = StepFlags(warm=False, mesh=True, freeze_pos=False,
+                      use_normal=True, anchor=False, sh_degree=1)
+    key = jax.random.PRNGKey(0)
+
+    _, m1 = jax.jit(lambda st, b, k: train_step(ctx, st, b, k, flags, None))(
+        state, batch, key)
+    loss1 = float(m1["loss"])
+    v1 = int(m1.get("mesh_n_verts", 0))
+
+    mesh = make_mesh(8)
+    sh = state_shardings(mesh, state)
+    state8 = jax.tree.map(jax.device_put, state, sh)
+    _, m8 = jax.jit(lambda st, b, k: train_step(ctx, st, b, k, flags, None),
+                    in_shardings=(sh, None, None),
+                    out_shardings=(sh, None))(state8, batch, key)
+    loss8 = float(m8["loss"])
+    np.testing.assert_allclose(loss8, loss1, rtol=rtol, atol=1e-6)
+    assert int(m8.get("mesh_n_verts", 0)) == v1
+    return v1
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_step_matches_single_device():
     """Same train step, same inputs: 8-way sharded loss == single-device loss.
@@ -32,26 +61,21 @@ def test_sharded_step_matches_single_device():
     import sys
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
-    from dgmesh_tpu.parallel.sharding import make_mesh, state_shardings
-    from dgmesh_tpu.train.step import StepFlags, train_step
-
     cfg, img = ge._tiny_cfg(grid_res=16, max_g=512, img=32)
     cfg.tpu.max_verts = 2048
     cfg.tpu.max_faces = 4096
-    ctx, state, batch = ge._make_state_and_batch(cfg, img)
-    flags = StepFlags(warm=False, mesh=True, freeze_pos=False,
-                      use_normal=True, anchor=False, sh_degree=1)
-    key = jax.random.PRNGKey(0)
+    _parity_at(cfg, img, rtol=2e-5)
 
-    _, m1 = jax.jit(lambda st, b, k: train_step(ctx, st, b, k, flags, None))(
-        state, batch, key)
-    loss1 = float(m1["loss"])
 
-    mesh = make_mesh(8)
-    sh = state_shardings(mesh, state)
-    state8 = jax.tree.map(jax.device_put, state, sh)
-    _, m8 = jax.jit(lambda st, b, k: train_step(ctx, st, b, k, flags, None),
-                    in_shardings=(sh, None, None),
-                    out_shardings=(sh, None))(state8, batch, key)
-    loss8 = float(m8["loss"])
-    np.testing.assert_allclose(loss8, loss1, rtol=2e-5, atol=1e-6)
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_parity_at_dryrun_shape():
+    """Parity at the dryrun's non-toy shape (VERDICT r2 #5): grid 64, 64px,
+    16k gaussians — a REAL isosurface (~13k verts) flows through the sharded
+    binning/compositing/MT path, not a degenerate empty mesh.  Slower test
+    (~3-4 min: two compiles + two executes at this size)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    cfg, img = ge._dryrun_cfg(8)
+    v = _parity_at(cfg, img, rtol=2e-5)
+    assert v > 1000, f"expected a real mesh at the dryrun shape, got V={v}"
