@@ -86,7 +86,9 @@ def main(argv=None):
                   log_every=min(cfg.optimization.log_every, 100),
                   first_iter=first_iter, on_log=on_log,
                   image_log_every=cfg.optimization.log_every if args.log_images else 0,
-                  image_log_dir=cfg.model.model_path)
+                  image_log_dir=cfg.model.model_path,
+                  save_at={i for i in save_at if i < iterations},
+                  save_dir=cfg.model.model_path)
     save_checkpoint(trainer.state, cfg.model.model_path, iterations)
     print("Training complete.", flush=True)
 

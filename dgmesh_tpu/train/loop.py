@@ -226,9 +226,11 @@ class Trainer:
 
     def train(self, iterations: Optional[int] = None, log_every: int = 100,
               first_iter: int = 1, on_log=None, image_log_every: int = 0,
-              image_log_dir: Optional[str] = None):
+              image_log_dir: Optional[str] = None, save_at=(),
+              save_dir: Optional[str] = None):
         o = self.cfg.optimization
         iterations = iterations or o.iterations
+        save_at = set(save_at or ())
         t0 = time.time()
         window = t0
         for it in range(first_iter, iterations + 1):
@@ -260,4 +262,9 @@ class Trainer:
                     on_log(m)
             if image_log_every and image_log_dir and it % image_log_every == 0:
                 self.save_debug_images(it, image_log_dir)
+            # mid-run checkpoints (reference train.py:536-538 save cadence)
+            if it in save_at and save_dir:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(self.state, save_dir, it)
+                print(f"[{it}] checkpoint saved", flush=True)
         return self.metrics_history

@@ -24,7 +24,8 @@ fi
 
 python -m dgmesh_tpu.cli.train --config "$CFG" -s "$DS" -m "$RUN" \
     --pretrain_mesh_path "$DS/mesh" --pretrain_mesh_path_test "$DS/mesh_test" \
-    --export_meshes 200 --log_images
+    --export_meshes 200 --log_images \
+    --save_iterations 2000 4000 6000 8000 10000
 
 python -m dgmesh_tpu.cli.mesh_evaluation --gt_dir "$DS/gt_eval" \
     --pred_dir "$RUN/meshes" --transforms "$DS/transforms_train.json" \
