@@ -66,16 +66,15 @@ def main(argv=None):
         out = fn(trainer.state, batch)
         mesh_img = np.asarray(jnp.clip(out["mesh_image"], 0, 1)).transpose(1, 2, 0)
 
-        # shape render: Blinn-Phong shaded white mesh (reference:
+        # shape render: per-pixel Blinn-Phong shaded white mesh (reference:
         # utils/renderer.py mesh_shape_renderer :236-319 — DirectionalLight
         # from the camera toward the mesh center, specular 0.2/shininess 10)
         from ..ops import mesh_raster as MR
         fvalid = jnp.arange(out["faces"].shape[0]) < out["n_faces"]
-        grey = MR.phong_vertex_colors(out["verts"], out["faces"], fvalid,
-                                      jnp.asarray(cam.camera_center))
-        sout = MR.render_mesh(out["verts"], out["faces"], fvalid,
-                              grey, batch.mesh_pose, batch.mesh_proj,
-                              jnp.ones(3), trainer.ctx.mr_cfg, want_soft=False)
+        sout = MR.render_mesh_shape(out["verts"], out["faces"], fvalid,
+                                    batch.mesh_pose, batch.mesh_proj,
+                                    jnp.asarray(cam.camera_center),
+                                    trainer.ctx.mr_cfg)
         shape_img = np.asarray(jnp.clip(sout["rgb"], 0, 1))
         panel = np.concatenate([mesh_img, shape_img], axis=1)
         save_image(os.path.join(out_dir, f"frame_{i:03d}.png"), panel)

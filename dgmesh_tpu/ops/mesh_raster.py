@@ -323,15 +323,13 @@ def phong_vertex_colors(verts, faces, face_valid, cam_center, light_dir=None,
     normals — a documented simplification of pytorch3d's per-pixel Phong.
     """
     f = faces
-    v0, v1, v2 = verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]]
-    fn = jnp.cross(v1 - v0, v2 - v0)
-    fn = jnp.where(face_valid[:, None], fn, 0.0)
-    vn = jnp.zeros_like(verts).at[f.reshape(-1)].add(jnp.repeat(fn, 3, axis=0))
-    vn = vn / (jnp.linalg.norm(vn, axis=-1, keepdims=True) + 1e-9)
+    vn = vertex_normals(verts, faces, face_valid)
 
     if light_dir is None:
+        v0, v1, v2 = verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]]
+        corners = jnp.where(face_valid[:, None], v0 + v1 + v2, 0.0)
         wsum = jnp.maximum(jnp.sum(face_valid) * 3.0, 1.0)
-        center = (v0 + v1 + v2).sum(0) / wsum
+        center = corners.sum(0) / wsum
         light_dir = center - jnp.asarray(cam_center)
     l = -jnp.asarray(light_dir, jnp.float32)
     l = l / (jnp.linalg.norm(l) + 1e-9)
@@ -343,6 +341,92 @@ def phong_vertex_colors(verts, faces, face_valid, cam_center, light_dir=None,
     ndh = jnp.abs(jnp.sum(vn * h, -1, keepdims=True))
     shade = ambient + diffuse * ndl + specular * ndh ** shininess
     return jnp.clip(shade, 0.0, 1.0) * jnp.ones((1, 3))
+
+
+def vertex_normals(verts, faces, face_valid):
+    """Area-weighted vertex normals (pytorch3d ``verts_normals`` convention)."""
+    f = faces
+    v0, v1, v2 = verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]]
+    fn = jnp.cross(v1 - v0, v2 - v0)
+    fn = jnp.where(face_valid[:, None], fn, 0.0)
+    vn = jnp.zeros_like(verts).at[f.reshape(-1)].add(jnp.repeat(fn, 3, axis=0))
+    return vn / (jnp.linalg.norm(vn, axis=-1, keepdims=True) + 1e-9)
+
+
+def render_mesh_shape(verts, faces, face_valid, pose, proj, cam_center,
+                      cfg: MeshRasterConfig, bg_color=None, light_dir=None,
+                      ambient=0.5, diffuse=0.3, specular=0.2, shininess=10.0):
+    """Per-pixel Blinn-Phong shape render (white mesh on white background).
+
+    Matches the reference's pytorch3d SoftPhongShader setup
+    (utils/renderer.py mesh_shape_renderer :236-319: white verts,
+    DirectionalLights aimed from the camera position at the mesh center,
+    Materials(specular 0.2, shininess 10), pytorch3d defaults ambient 0.5 /
+    diffuse 0.3).  Unlike ``phong_vertex_colors`` (Gouraud, kept for cheap
+    in-training dumps), this interpolates vertex NORMALS per pixel and
+    evaluates the lighting model per pixel — pytorch3d's HardPhongShader
+    semantics — so specular highlights and shading on coarse meshes match
+    the reference instead of being vertex-banded.
+
+    Rasterizes once for visibility (winner ``face_id`` per pixel), then
+    shades per pixel: perspective-correct barycentrics from the winning
+    triangle's projected corners → interpolated normal + world position →
+    Blinn-Phong.  Eval-only path (H·W gathers), not on the train step.
+    """
+    bg = jnp.ones(3, jnp.float32) if bg_color is None else jnp.asarray(
+        bg_color, jnp.float32)
+    white = jnp.ones((verts.shape[0], 3), jnp.float32)
+    out = render_mesh(verts, faces, face_valid, white, pose, proj, bg, cfg,
+                      want_soft=False)
+    fid = out["face_id"]                                    # (H,W)
+    covered = fid >= 0
+    f = faces[jnp.maximum(fid, 0)]                          # (H,W,3)
+
+    # project all verts once; per-pixel gather of the 3 winning corners
+    scr, w, _ = project_verts(verts, pose, proj, cfg)       # (V,2),(V,)
+    inv_w_v = 1.0 / jnp.maximum(w, cfg.eps_w)
+    tri = scr[f]                                            # (H,W,3,2)
+    inv_w = inv_w_v[f]                                      # (H,W,3)
+
+    H, W = fid.shape
+    px = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5    # pixel centers
+    py = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
+    ax, ay = tri[..., 0, 0], tri[..., 0, 1]
+    bx, by = tri[..., 1, 0], tri[..., 1, 1]
+    cx, cy = tri[..., 2, 0], tri[..., 2, 1]
+    e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+    e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+    e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    area = jnp.where(jnp.abs(area) < 1e-9, 1e-9, area)
+    bary = jnp.stack([e0, e1, e2], axis=-1) / area[..., None]   # (H,W,3)
+    pw = bary * inv_w                                       # perspective-correct
+    pw = pw / jnp.maximum(pw.sum(-1, keepdims=True), 1e-12)
+
+    vn = vertex_normals(verts, faces, face_valid)
+    n = jnp.einsum("hwj,hwjd->hwd", pw, vn[f])
+    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
+    p = jnp.einsum("hwj,hwjd->hwd", pw, verts[f])           # world position
+
+    if light_dir is None:
+        v0 = verts[faces[:, 0]]
+        wsum = jnp.maximum(jnp.sum(face_valid), 1.0)
+        center = jnp.sum(jnp.where(face_valid[:, None], v0, 0.0), 0) / wsum
+        light_dir = center - jnp.asarray(cam_center)
+    l = -jnp.asarray(light_dir, jnp.float32)
+    l = l / (jnp.linalg.norm(l) + 1e-9)
+    view = jnp.asarray(cam_center) - p
+    view = view / (jnp.linalg.norm(view, axis=-1, keepdims=True) + 1e-9)
+    ndl = jnp.abs(jnp.sum(n * l, -1, keepdims=True))
+    hvec = l + view
+    hvec = hvec / (jnp.linalg.norm(hvec, axis=-1, keepdims=True) + 1e-9)
+    ndh = jnp.abs(jnp.sum(n * hvec, -1, keepdims=True))
+    shade = jnp.clip(ambient + diffuse * ndl + specular * ndh ** shininess,
+                     0.0, 1.0)
+    rgb = jnp.where(covered[..., None], shade * jnp.ones((1, 1, 3)), bg)
+    return dict(rgb=rgb, mask=covered.astype(jnp.float32), face_id=fid,
+                normal=jnp.where(covered[..., None], n, 0.0),
+                position=jnp.where(covered[..., None], p, 0.0))
 
 
 def render_mesh(verts, faces, face_valid, vtx_color, pose, proj, bg_color,
