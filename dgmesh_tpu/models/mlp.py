@@ -89,7 +89,12 @@ class MLPTrunk(nn.Module):
         def dense(x_in, k, b):
             if dt is not None:
                 x_in, k, b = x_in.astype(dt), k.astype(dt), b.astype(dt)
-            return x_in @ k + b
+            # HIGHEST so the f32 path really is f32 on the TPU MXU (the
+            # backend default is one-pass bf16 for f32 operands — it silently
+            # turned the "f32-faithful" quality configs into bf16 nets); when
+            # dt=bf16 the operands are already bf16 and HIGHEST is a no-op.
+            return jnp.matmul(x_in, k,
+                              precision=jax.lax.Precision.HIGHEST) + b
 
         h = inp
         for i in range(depth):

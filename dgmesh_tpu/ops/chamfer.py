@@ -63,7 +63,8 @@ def emd_sinkhorn(a, b, epsilon: float = 0.005, iters: int = 600):
     n = a.shape[0]
     a2 = jnp.sum(a * a, -1, keepdims=True)
     b2 = jnp.sum(b * b, -1)
-    C = a2 + b2[None, :] - 2.0 * (a @ b.T)
+    C = a2 + b2[None, :] - 2.0 * jnp.matmul(
+        a, b.T, precision=jax.lax.Precision.HIGHEST)
     # ApproxMatch costs are euclidean (not squared) — match that convention
     C = jnp.sqrt(jnp.maximum(C, 1e-12))
 

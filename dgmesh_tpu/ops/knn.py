@@ -56,7 +56,10 @@ def knn(queries, refs, k: int, ref_valid=None, q_block: int = 4096,
             rs = jax.lax.dynamic_slice_in_dim(rpad, ri * rb, rb)
             rvb = jax.lax.dynamic_slice_in_dim(rv, ri * rb, rb)
             rr2 = jax.lax.dynamic_slice_in_dim(r2, ri * rb, rb)
-            d2 = q2 + rr2[None, :] - 2.0 * (qs @ rs.T)          # (qb, rb) MXU
+            # HIGHEST: anchor radius queries compare d2 at ~1e-6 scale;
+            # the one-pass-bf16 TPU default is 4 orders too coarse
+            d2 = q2 + rr2[None, :] - 2.0 * jnp.matmul(
+                qs, rs.T, precision=jax.lax.Precision.HIGHEST)  # (qb, rb) MXU
             d2 = jnp.maximum(d2, 0.0)
             ids = ri * rb + jnp.arange(rb, dtype=jnp.int32)[None, :]
             d2 = jnp.where(rvb[None, :], d2, jnp.inf)

@@ -42,10 +42,16 @@ def _filter2d_separable(img, win):
     kern_h = jnp.tile(win.reshape(1, 1, k, 1), (c, 1, 1, 1))
     kern_w = jnp.tile(win.reshape(1, 1, 1, k), (c, 1, 1, 1))
     x = img[None]  # NCHW
+    # HIGHEST is load-bearing: with the TPU bf16 conv default, the
+    # f(x^2)-mu^2 variance cancellation loses all significance, the
+    # SSIM denominator can cross zero, and the loss explodes (observed:
+    # ssim>2 at 800px, then NaN gradients — r3 quality-run failure).
     x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "SAME",
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "SAME",
-                                     feature_group_count=c)
+                                     feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     return x[0]
 
 

@@ -81,7 +81,8 @@ def _shade_kernel(attr_ref, rgb_ref, hard_ref, soft_ref, fid_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
     tril = (col <= row).astype(jnp.float32)
     cnt = jax.lax.dot_general(tril, ismax, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     win = ismax * (cnt < 1.5).astype(jnp.float32)           # one-hot per pixel
 
     covered = jnp.max(inside.astype(jnp.float32), axis=0, keepdims=True)
@@ -102,7 +103,8 @@ def _shade_kernel(attr_ref, rgb_ref, hard_ref, soft_ref, fid_ref, *,
         colj = a[:, 10 + 3 * j:13 + 3 * j]                  # (K,3)
         contrib = jax.lax.dot_general(win * pwj, colj,
                                       (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
         rgb = contrib if rgb is None else rgb + contrib     # (P,3)
     rgb_ref[0] = rgb
     hard_ref[0] = covered
@@ -201,7 +203,8 @@ def _shade_bwd_kernel(attr_ref, g_rgb_ref, g_soft_ref, d_attr_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
     tril = (col <= row).astype(jnp.float32)
     cnt = jax.lax.dot_general(tril, ismax, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     win = ismax * (cnt < 1.5).astype(jnp.float32)           # (K,P)
 
     bw0 = jnp.sum(win * b0, axis=0, keepdims=True)          # (1,P)
@@ -223,9 +226,11 @@ def _shade_bwd_kernel(attr_ref, g_rgb_ref, g_soft_ref, d_attr_ref, *,
         colj = a[:, 10 + 3 * j:13 + 3 * j]                  # (K,3)
         d_col.append(jax.lax.dot_general(win * pwj, g_rgb,
                                          (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.float32))
+                                         preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST))
         gc = jax.lax.dot_general(colj, g_rgb, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # (K,P)
+                                 preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # (K,P)
         u.append(jnp.sum(win * gc, axis=0, keepdims=True))  # (1,P)
     u0, u1, u2 = u
     ubar = pw0 * u0 + pw1 * u1 + pw2 * u2

@@ -40,16 +40,19 @@ def _fwd_kernel(x_ref, w_ref, b_ref, out_ref, *, depth: int, skip: int):
 
     def lin(h, wi, bi):
         y = jax.lax.dot_general(h, wi, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
         return jnp.maximum(y + bi[None, :], 0.0).astype(jnp.bfloat16)
 
     h = lin(x, w[0], b[0])
     for i in range(1, depth):
         if i == skip + 1:
             y = jax.lax.dot_general(h, w[i], (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
             y = y + jax.lax.dot_general(x, w[depth], (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
             h = jnp.maximum(y + b[i][None, :], 0.0).astype(jnp.bfloat16)
         else:
             h = lin(h, w[i], b[i])
@@ -76,16 +79,19 @@ def _bwd_kernel(x_ref, w_ref, b_ref, g_ref, dx_ref, dw_ref, db_ref, *,
     h = x
     for i in range(depth):
         y = jax.lax.dot_general(h, w[i], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
         if i == skip + 1:
             y = y + jax.lax.dot_general(x, w[depth], (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
         h = jnp.maximum(y + b[i][None, :], 0.0).astype(jnp.bfloat16)
         acts.append(h)
 
     def matT(a, g):                                    # aᵀ@g → (256,256) f32
         return jax.lax.dot_general(a, g, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
     g = g_ref[...]                                     # (B,256) f32
     dws = [None] * (depth + 1)
@@ -101,9 +107,11 @@ def _bwd_kernel(x_ref, w_ref, b_ref, g_ref, dx_ref, dw_ref, db_ref, *,
             dws[depth] = matT(x, gmb)
             dx = dx + jax.lax.dot_general(
                 gmb, w[depth], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
         g = jax.lax.dot_general(gmb, w[i], (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     dx = dx + g
 
     dx_ref[...] = dx

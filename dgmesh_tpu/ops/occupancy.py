@@ -58,7 +58,8 @@ def gaussian_occupancy_grid(xyz, scaling, rotation, opacity, alive,
             ss = jax.lax.dynamic_slice_in_dim(inv_s_p, gi * gc, gc)
             os_ = jax.lax.dynamic_slice_in_dim(op_p, gi * gc, gc)
             d = p[:, None, :] - xs[None, :, :]         # (chunk,gc,3)
-            local = jnp.einsum("nij,cnj->cni", rs, d)
+            local = jnp.einsum("nij,cnj->cni", rs, d,
+                               precision=jax.lax.Precision.HIGHEST)
             q = jnp.sum((local * ss[None]) ** 2, axis=-1)
             val = os_[None, :] * jnp.exp(-0.5 * q)
             val = jnp.where(q < cutoff * cutoff * 3.0, val, 0.0)

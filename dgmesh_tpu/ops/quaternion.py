@@ -7,6 +7,7 @@ gaussian_renderer/__init__.py:20-29 quaternion_multiply.  Quaternions are
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -44,9 +45,11 @@ def build_covariance(scales, quats):
     """
     R = quat_to_rotmat(quats)
     M = R * scales[..., None, :]           # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    return jnp.matmul(M, jnp.swapaxes(M, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rotate_vec(q, v):
     """Rotate vectors v by unit quaternions q."""
-    return jnp.einsum("...ij,...j->...i", quat_to_rotmat(q), v)
+    return jnp.einsum("...ij,...j->...i", quat_to_rotmat(q), v,
+                      precision=jax.lax.Precision.HIGHEST)

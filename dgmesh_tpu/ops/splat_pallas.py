@@ -71,13 +71,15 @@ def _composite_kernel(attr_ref, out_rgb_ref, out_alpha_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
     tril = (col <= row).astype(jnp.float32)
     csum = jax.lax.dot_general(tril, log1m, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     trans = jnp.exp(csum - log1m)                          # T_i = Π_{j<i}(1-α_j)
     w = alpha * trans                                      # (K,P)
 
     rgb = attrs[:, 6:9]                                    # (K,3)
     out = jax.lax.dot_general(w, rgb, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (P,3)
+                              preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # (P,3)
     out_rgb_ref[0] = out
     out_alpha_ref[0] = 1.0 - jnp.exp(csum[K - 1:K, :])   # (1,P) row
 
@@ -157,7 +159,8 @@ def _composite_bwd_kernel(attr_ref, g_rgb_ref, g_alpha_ref, d_attr_ref, *,
     col = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
     tril = (col <= row).astype(jnp.float32)
     csum = jax.lax.dot_general(tril, log1m, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     trans = jnp.exp(csum - log1m)                          # T_i (K,P)
     w = alpha * trans
     t_fin = jnp.exp(csum[K - 1:K, :])                      # (1,P)
@@ -166,12 +169,15 @@ def _composite_bwd_kernel(attr_ref, g_rgb_ref, g_alpha_ref, d_attr_ref, *,
     g_a = g_alpha_ref[0]                                   # (1,P)
 
     d_rgb = jax.lax.dot_general(w, g_rgb, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # (K,3)
+                                preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # (K,3)
     u = jax.lax.dot_general(rgb, g_rgb, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)      # (K,P)
+                            preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)      # (K,P)
     uw = u * w
     incl = jax.lax.dot_general(tril, uw, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     suffix = incl[K - 1:K, :] - incl                       # Σ_{k>i} u_k w_k
     d_alpha = u * trans - (suffix - g_a * t_fin) / (1.0 - alpha)
     d_alpha = jnp.where(live, d_alpha, 0.0)
@@ -180,7 +186,8 @@ def _composite_bwd_kernel(attr_ref, g_rgb_ref, g_alpha_ref, d_attr_ref, *,
 
     def rowsum(x):                                         # (K,P) → (K,1)
         return jax.lax.dot_general(x, ones, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
     d_op = rowsum(d_alpha * expp)
     d_pow = d_alpha * alpha

@@ -98,7 +98,8 @@ def densify_and_prune(cfg: Config, gp: GaussianParams, gs: GaussianStats,
     child_vals = {}
     for which, kk in ((0, k1), (1, k2)):
         samples = jax.random.normal(kk, (M, 3)) * stds
-        off = jnp.einsum("nij,nj->ni", rots, samples)
+        off = jnp.einsum("nij,nj->ni", rots, samples,
+                         precision=jax.lax.Precision.HIGHEST)
         child_vals[which] = dict(
             xyz=gp.xyz[src_s] + off,
             scaling=jnp.log(jnp.maximum(scale_act[src_s] / (0.8 * 2), 1e-10)),
