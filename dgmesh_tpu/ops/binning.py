@@ -25,6 +25,36 @@ class TileBins(NamedTuple):
     num_duplicates: jnp.ndarray
     dup_overflow: jnp.ndarray
     tile_overflow: jnp.ndarray
+    tile_count: jnp.ndarray   # (num_tiles,) pre-truncation entries per tile
+
+
+def _depth_bits(num_tiles: int) -> int:
+    """Depth bits available in the packed (tile|depth) int32 sort key."""
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = min(31 - tile_bits, 14)   # f_dq carries 14 depth bits
+    assert depth_bits >= 8, f"too many tiles ({num_tiles}) for packed keys"
+    return depth_bits
+
+
+def merge_depth_rank(depth_key, num_tiles: int):
+    """Per-item depth rank at the EXACT resolution bin_rects sorts at.
+
+    The sharded binning path (parallel/sharded_splat.py) merges per-chip
+    sorted tile lists; using this rank (plus global item id as the stable
+    tie-break, matching bin_rects' slot order) reproduces the single-device
+    sort order bit-for-bit, so per-chip-top-K merge → global-top-K is exact.
+    """
+    depth_bits = _depth_bits(num_tiles)
+    f_dq = jnp.clip(depth_key >> 16, 0, (1 << 14) - 1)
+    return jnp.clip(f_dq >> (14 - depth_bits), 0, (1 << depth_bits) - 1)
+
+
+def depth_range(depth, valid):
+    """Masked (min, max) of depth — the normalization quantize_depth uses.
+    Exposed so the sharded path can psum/pmin a GLOBAL range across chips."""
+    dmin = jnp.min(jnp.where(valid, depth, jnp.inf))
+    dmax = jnp.max(jnp.where(valid, depth, -jnp.inf))
+    return dmin, dmax
 
 
 def bin_rects(tx0, ty0, nx, ny, depth_key, valid, *, tiles_x: int,
@@ -71,9 +101,7 @@ def bin_rects(tx0, ty0, nx, ny, depth_key, valid, *, tiles_x: int,
     # pack (tile, depth) into ONE int32 key: a single-key sort_key_val is
     # several times cheaper on TPU than a 3-operand two-key comparator sort
     # (cub's 64-bit tile|depth key, rasterizer_impl.cu:70-111, same idea)
-    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
-    depth_bits = min(31 - tile_bits, 14)   # f_dq carries 14 depth bits
-    assert depth_bits >= 8, f"too many tiles ({num_tiles}) for packed keys"
+    depth_bits = _depth_bits(num_tiles)
     dq = jnp.clip(f_dq >> (14 - depth_bits), 0, (1 << depth_bits) - 1)
     key = (tile << depth_bits) | dq
     _key_s, g_s = jax.lax.sort_key_val(key, g)
@@ -91,7 +119,8 @@ def bin_rects(tx0, ty0, nx, ny, depth_key, valid, *, tiles_x: int,
     overflow = jnp.maximum(t_end - t_start - max_per_tile, 0)
     return TileBins(tile_idx=tile_idx, num_duplicates=total,
                     dup_overflow=jnp.maximum(total - max_dup, 0),
-                    tile_overflow=jnp.sum(overflow))
+                    tile_overflow=jnp.sum(overflow),
+                    tile_count=t_end - t_start)
 
 
 def rect_from_bbox(x0, y0, x1, y1, *, tile_w: int, tile_h: int,
@@ -106,9 +135,13 @@ def rect_from_bbox(x0, y0, x1, y1, *, tile_w: int, tile_h: int,
     return tx0, ty0, nx, ny
 
 
-def quantize_depth(depth, valid, bits: int = 30):
-    """Map float depth to monotone int32 keys for the two-key sort."""
-    dmin = jnp.min(jnp.where(valid, depth, jnp.inf))
-    dmax = jnp.max(jnp.where(valid, depth, -jnp.inf))
+def quantize_depth(depth, valid, bits: int = 30, dmin=None, dmax=None):
+    """Map float depth to monotone int32 keys for the two-key sort.
+
+    ``dmin``/``dmax`` override the masked range — the sharded path passes the
+    pmin/pmax-reduced GLOBAL range so per-chip keys agree across chips.
+    """
+    if dmin is None or dmax is None:
+        dmin, dmax = depth_range(depth, valid)
     drange = jnp.maximum(dmax - dmin, 1e-6)
     return ((depth - dmin) / drange * jnp.float32(1 << bits)).astype(jnp.int32)

@@ -72,8 +72,11 @@ def project_verts(verts, pose, proj, cfg: MeshRasterConfig):
     """world verts (V,3) → screen xy (V,2), clip w (V,), ok mask."""
     ones = jnp.ones((verts.shape[0], 1), verts.dtype)
     hom = jnp.concatenate([verts, ones], axis=-1)
-    cam = hom @ pose.T
-    clip = cam @ proj.T                      # OpenGL clip space
+    # HIGHEST everywhere a dot feeds geometry: TPU default matmul is
+    # one-pass bf16 (see ops/splat.py preprocess note)
+    cam = jnp.matmul(hom, pose.T, precision=jax.lax.Precision.HIGHEST)
+    clip = jnp.matmul(cam, proj.T,
+                      precision=jax.lax.Precision.HIGHEST)  # GL clip space
     w = clip[:, 3]
     ok = w > cfg.eps_w
     w_safe = jnp.where(ok, w, 1.0)
@@ -99,7 +102,8 @@ def _face_screen(verts, faces, face_valid, pose, proj, cfg: MeshRasterConfig,
         tri_w = verts[faces]                       # (F,3,3) shared face gather
     ones = jnp.ones(tri_w.shape[:2] + (1,), verts.dtype)
     hom = jnp.concatenate([tri_w, ones], axis=-1)  # (F,3,4)
-    clip = hom @ (proj @ pose).T                   # OpenGL clip space
+    clip = jnp.matmul(hom, jnp.matmul(proj, pose, precision=jax.lax.Precision.HIGHEST).T,
+                      precision=jax.lax.Precision.HIGHEST)   # GL clip space
     w = clip[..., 3]                               # (F,3)
     ok = w > cfg.eps_w
     w_safe = jnp.where(ok, w, 1.0)
@@ -223,7 +227,8 @@ def _shade_chunk(tile_ids, tidx, rast, colors_v, faces, bg, cfg, want_soft):
 
     bary, area = _bary_2d(tri, px, py)              # (C,K,P,3),(C,K,1)
     inside = (bary >= 0.0).all(axis=-1) & gvalid[:, :, None]   # (C,K,P)
-    zi = jnp.einsum("ckpj,ckj->ckp", bary, inv_w)   # interpolated 1/w
+    zi = jnp.einsum("ckpj,ckj->ckp", bary, inv_w,
+                    precision=jax.lax.Precision.HIGHEST)   # interpolated 1/w
     zkey = jnp.where(inside, zi, -jnp.inf)
     win = jnp.argmax(zkey, axis=1)                  # (C,P) nearest face slot
     covered = jnp.take_along_axis(inside, win[:, None, :], axis=1)[:, 0, :]
@@ -239,7 +244,8 @@ def _shade_chunk(tile_ids, tidx, rast, colors_v, faces, bg, cfg, want_soft):
     fid = jnp.take_along_axis(gi, win, axis=1)      # (C,P) face index
     vidx = faces[fid]                               # (C,P,3)
     vcol = colors_v[vidx]                           # (C,P,3,3)
-    rgb = jnp.einsum("cpj,cpjd->cpd", pw, vcol)
+    rgb = jnp.einsum("cpj,cpjd->cpd", pw, vcol,
+                     precision=jax.lax.Precision.HIGHEST)
     rgb = jnp.where(covered[..., None], rgb, bg[None, None, :])
     fid_out = jnp.where(covered, fid, -1)
 
@@ -404,9 +410,11 @@ def render_mesh_shape(verts, faces, face_valid, pose, proj, cam_center,
     pw = pw / jnp.maximum(pw.sum(-1, keepdims=True), 1e-12)
 
     vn = vertex_normals(verts, faces, face_valid)
-    n = jnp.einsum("hwj,hwjd->hwd", pw, vn[f])
+    n = jnp.einsum("hwj,hwjd->hwd", pw, vn[f],
+                   precision=jax.lax.Precision.HIGHEST)
     n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
-    p = jnp.einsum("hwj,hwjd->hwd", pw, verts[f])           # world position
+    p = jnp.einsum("hwj,hwjd->hwd", pw, verts[f],
+                   precision=jax.lax.Precision.HIGHEST)      # world position
 
     if light_dir is None:
         v0 = verts[faces[:, 0]]

@@ -101,11 +101,18 @@ def preprocess(means3d, scales, quats, opacities, shs, alive, cam: CameraArrays,
 
     ones = jnp.ones((means3d.shape[0], 1), means3d.dtype)
     hom = jnp.concatenate([means3d, ones], axis=-1)          # (N,4)
-    p_view = hom @ cam.world_view.T                           # (N,4)
+    # TPU NOTE: f32 `@` lowers to ONE-pass bf16 on the MXU by default —
+    # 0.4% relative error ≈ several-pixel projection error at 800px and
+    # a blown-up SSIM denominator (r3 NaN root cause).  Every
+    # correctness-critical dot in this file pins HIGHEST (~f32) —
+    # the shapes are tiny, the cost is noise.
+    p_view = jnp.matmul(hom, cam.world_view.T,
+                        precision=jax.lax.Precision.HIGHEST)   # (N,4)
     depth = p_view[:, 2]
     in_front = depth > NEAR_CULL
 
-    p_hom = hom @ cam.full_proj.T                             # (N,4)
+    p_hom = jnp.matmul(hom, cam.full_proj.T,
+                       precision=jax.lax.Precision.HIGHEST)    # (N,4)
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     p_proj = p_hom[:, :3] * p_w[:, None]
     # ndc2Pix (reference: auxiliary.h:41)
@@ -133,8 +140,10 @@ def preprocess(means3d, scales, quats, opacities, shs, alive, cam: CameraArrays,
         jnp.stack([zero, fy / tz, -fy * ty / (tz * tz)], axis=-1),
     ], axis=-2)                                               # (N,2,3)
     Wm = cam.world_view[:3, :3]                               # (3,3)
-    T = J @ Wm                                                # (N,2,3)
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)               # (N,2,2)
+    T = jnp.matmul(J, Wm, precision=jax.lax.Precision.HIGHEST)  # (N,2,3)
+    cov2d = jnp.matmul(jnp.matmul(T, cov3d, precision=jax.lax.Precision.HIGHEST),
+                       jnp.swapaxes(T, -1, -2),
+                       precision=jax.lax.Precision.HIGHEST)    # (N,2,2)
     cxx = cov2d[:, 0, 0] + 0.3
     cyy = cov2d[:, 1, 1] + 0.3
     cxy = cov2d[:, 0, 1]
@@ -219,12 +228,19 @@ def _composite_chunk(tile_ids, tile_idx_chunk, packed, bg, cfg: SplatConfig):
     packed: (N,9) from _pack_attrs.
     Returns color (C,P,3), alpha (C,P) with P = tile_h*tile_w.
     """
-    K = cfg.max_per_tile
-    P = cfg.tile_h * cfg.tile_w
     gi = jnp.maximum(tile_idx_chunk, 0)                    # (C,K)
-    gvalid = tile_idx_chunk >= 0
-
     ga = packed[gi]                                        # (C,K,9) one gather
+    return _composite_chunk_attrs(tile_ids, ga, tile_idx_chunk >= 0, bg, cfg)
+
+
+def _composite_chunk_attrs(tile_ids, ga, gvalid, bg, cfg: SplatConfig):
+    """Composite from pre-gathered per-tile attributes (shared with the
+    sharded path, parallel/sharded_splat.py, where the (C,K,9) blocks arrive
+    via all_to_all instead of a global-table gather).
+
+    ga: (C,K,9) _pack_attrs rows; gvalid: (C,K) bool.
+    """
+    P = cfg.tile_h * cfg.tile_w
     mean2d = ga[..., 0:2]
     conic = ga[..., 2:5]
     opac = ga[..., 5]
@@ -254,7 +270,8 @@ def _composite_chunk(tile_ids, tile_idx_chunk, packed, bg, cfg: SplatConfig):
     trans = jnp.cumprod(one_m, axis=1) / one_m             # T_i = Π_{j<i}(1-α_j)
     # (safe: one_m ≥ 1-ALPHA_MAX = 0.01)
     w = alpha * trans                                      # (C,K,P)
-    out = jnp.einsum("ckp,ckd->cpd", w, color)             # MXU
+    out = jnp.einsum("ckp,ckd->cpd", w, color,
+                     precision=jax.lax.Precision.HIGHEST)     # MXU
     t_final = jnp.prod(one_m, axis=1)                      # (C,P)
     out = out + t_final[..., None] * bg[None, None, :]
     return out, 1.0 - t_final

@@ -68,10 +68,18 @@ class Batch(NamedTuple):
 
 
 class StepContext:
-    """Static pieces shared by all step variants (shapes, operators, configs)."""
+    """Static pieces shared by all step variants (shapes, operators, configs).
 
-    def __init__(self, cfg: Config, width: int, height: int):
+    ``device_mesh`` (optional jax.sharding.Mesh): when set, the Gaussian
+    splat runs through parallel/sharded_splat.render_sharded — per-chip
+    binning + one all_to_all tile exchange instead of GSPMD's all-gathered
+    global sort (DESIGN.md §5).  Exact same numerics (pinned by
+    tests/test_sharded_splat.py); axis name comes from cfg.tpu.mesh_axis.
+    """
+
+    def __init__(self, cfg: Config, width: int, height: int, device_mesh=None):
         self.cfg = cfg
+        self.device_mesh = device_mesh
         t = cfg.tpu
         self.splat_cfg = splat.SplatConfig(
             width=width, height=height, tile_h=t.tile_h, tile_w=t.tile_w,
@@ -203,10 +211,19 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
     means3d = gp.xyz + d_xyz
     scales = G.get_scaling(gp) + d_scale
     rots = G.get_rotation(gp) + d_rot
-    out = splat.render(means3d, scales, rots, G.get_opacity(gp),
-                       G.get_features(gp), gs.alive, batch.cam, batch.bg,
-                       ctx.splat_cfg, sh_degree=flags.sh_degree,
-                       screen_offset=screen_offset)
+    if ctx.device_mesh is not None:
+        from ..parallel.sharded_splat import render_sharded
+        out = render_sharded(ctx.device_mesh, means3d, scales, rots,
+                             G.get_opacity(gp), G.get_features(gp), gs.alive,
+                             batch.cam, batch.bg, ctx.splat_cfg,
+                             sh_degree=flags.sh_degree,
+                             screen_offset=screen_offset,
+                             axis=cfg.tpu.mesh_axis)
+    else:
+        out = splat.render(means3d, scales, rots, G.get_opacity(gp),
+                           G.get_features(gp), gs.alive, batch.cam, batch.bg,
+                           ctx.splat_cfg, sh_degree=flags.sh_degree,
+                           screen_offset=screen_offset)
     image = out["render"]
     aux["radii"] = out["radii"]
     aux["visibility"] = out["visibility"]

@@ -48,6 +48,16 @@ def _parity_at(cfg, img, rtol):
     loss8 = float(m8["loss"])
     np.testing.assert_allclose(loss8, loss1, rtol=rtol, atol=1e-6)
     assert int(m8.get("mesh_n_verts", 0)) == v1
+
+    # and again with the genuinely-sharded splat (per-chip binning +
+    # all_to_all tile exchange) swapped in — the path dryrun_multichip runs
+    ctx.device_mesh = mesh
+    _, m8s = jax.jit(lambda st, b, k: train_step(ctx, st, b, k, flags, None),
+                     in_shardings=(sh, None, None),
+                     out_shardings=(sh, None))(state8, batch, key)
+    ctx.device_mesh = None
+    np.testing.assert_allclose(float(m8s["loss"]), loss1, rtol=rtol, atol=1e-6)
+    assert int(m8s.get("mesh_n_verts", 0)) == v1
     return v1
 
 
