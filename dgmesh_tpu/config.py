@@ -125,6 +125,13 @@ class TpuParams:
     max_face_dup: int = 2_097_152         # capacity of (face, tile) pairs
     mask_sigma: float = 2e-5              # soft-silhouette sharpness (NDC^2 units)
     tile_chunk: int = 64                  # tiles composited per lax.map step
+    occ_res: int = 128                    # one-shot normal-init occupancy grid
+                                          # (reference mesh_utils.py uses 256;
+                                          # the axon TPU backend faults on the
+                                          # occupancy program at res >= 192 —
+                                          # see ops/occupancy.py note — and the
+                                          # init surface only seeds normals
+                                          # that training then refines)
     dtype: str = "float32"                # compute dtype for geometry math
     mesh_axis: str = "dev"                # device-mesh axis name for sharding
     donate: bool = True                   # donate state buffers in train_step

@@ -9,6 +9,13 @@ The reference evaluates Σᵢ opacityᵢ·exp(-½ dᵀΣᵢ⁻¹d) block-tiled w
 per-block culling of far Gaussians.  On TPU we chunk over grid points ×
 Gaussians; the quadratic form is einsum-friendly and the one-shot cost is
 irrelevant (runs once per training).
+
+KNOWN BACKEND FAULT (r3, axon/v5e): this program crashes the TPU worker
+("kernel fault") at res ≥ 192 with M=131072, in every chunking variant
+tried (8192/2048, grid constant folded or generated in-body, default or
+HIGHEST einsum precision), while res ≤ 128 runs fine and minimal same-shape
+scan repros pass.  Training therefore defaults to cfg.tpu.occ_res = 128
+(config.py) for the one-shot normal init; revisit if the backend updates.
 """
 
 from __future__ import annotations
@@ -43,15 +50,24 @@ def gaussian_occupancy_grid(xyz, scaling, rotation, opacity, alive,
     xyz_p = jnp.pad(xyz, ((0, padn), (0, 0)))
     op_p = jnp.pad(op, (0, padn))
 
-    g = (jnp.arange(res, dtype=jnp.float32) + 0.5) / res * 2.0 - 1.0
-    pts = jnp.stack(jnp.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
-    pts = pts * half_extent + jnp.asarray(center)
+    n_pts = res * res * res
+    n_chunks = -(-n_pts // chunk)
+    center = jnp.asarray(center)
 
-    n_chunks = -(-pts.shape[0] // chunk)
-    pad = n_chunks * chunk - pts.shape[0]
-    pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+    # Cell coordinates are derived INSIDE the scan body from the chunk index
+    # (one 8k iota decode per step) instead of materializing the res³×3 grid
+    # up front: at res ≥ 192 XLA constant-folds the meshgrid into a 10²-MB
+    # program constant, which faults the TPU worker outright (r3: first
+    # normal-init step at 192³/256³ crashed the device; 128³ survived).
+    def body(_, ci):
+        flat = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        ii = flat // (res * res)
+        jj = (flat // res) % res
+        kk = flat % res
+        cell = (jnp.stack([ii, jj, kk], -1).astype(jnp.float32) + 0.5) \
+            / res * 2.0 - 1.0
+        p = cell * half_extent + center                # (chunk,3)
 
-    def body(_, p):                                    # p: (chunk,3)
         def g_step(acc, gi):
             xs = jax.lax.dynamic_slice_in_dim(xyz_p, gi * gc, gc)
             rs = jax.lax.dynamic_slice_in_dim(Rt, gi * gc, gc)
@@ -65,11 +81,11 @@ def gaussian_occupancy_grid(xyz, scaling, rotation, opacity, alive,
             val = jnp.where(q < cutoff * cutoff * 3.0, val, 0.0)
             return acc + val.sum(axis=1), None
 
-        acc, _ = jax.lax.scan(g_step, jnp.zeros(p.shape[0]), jnp.arange(ng))
+        acc, _ = jax.lax.scan(g_step, jnp.zeros(chunk), jnp.arange(ng))
         return _, acc
 
-    _, vals = jax.lax.scan(body, None, pts_p.reshape(n_chunks, chunk, 3))
-    return vals.reshape(-1)[:pts.shape[0]].reshape(res, res, res)
+    _, vals = jax.lax.scan(body, None, jnp.arange(n_chunks, dtype=jnp.int32))
+    return vals.reshape(-1)[:n_pts].reshape(res, res, res)
 
 
 def sample_mesh_surface(key, verts, faces, face_valid, n_samples: int):

@@ -103,7 +103,7 @@ class Trainer:
         self.normal_init_fn = jax.jit(
             lambda gp, gs, nets, fid, key: normal_initialization(
                 cfg, ctx.f32().nets_def, gp, gs, nets, fid, key,
-                occ_res=min(cfg.model.grid_res, 256)))
+                occ_res=min(cfg.model.grid_res, cfg.tpu.occ_res)))
 
     # ---- flag schedule (reference train.py gates) ----
     def flags_for(self, it: int) -> StepFlags:
