@@ -22,10 +22,25 @@ generate_mesh_dataset("$DS", n_frames=40, width=800, height=800, n_test=8,
 PY
 fi
 
-python -m dgmesh_tpu.cli.train --config "$CFG" -s "$DS" -m "$RUN" \
-    --pretrain_mesh_path "$DS/mesh" --pretrain_mesh_path_test "$DS/mesh_test" \
-    --export_meshes 200 --log_images \
-    --save_iterations 2000 4000 6000 8000 10000
+# The axon tunnel is flaky on long runs (remote-compile truncation, worker
+# restarts) — retry from the latest mid-run checkpoint instead of dying.
+ATTEMPTS=${ATTEMPTS:-6}
+ok=0
+for i in $(seq 1 "$ATTEMPTS"); do
+  RESUME=()
+  if ls "$RUN"/checkpoint/state_*.msgpack >/dev/null 2>&1; then
+    RESUME=(--start_checkpoint "$RUN")
+  fi
+  if python -m dgmesh_tpu.cli.train --config "$CFG" -s "$DS" -m "$RUN" \
+      --pretrain_mesh_path "$DS/mesh" --pretrain_mesh_path_test "$DS/mesh_test" \
+      --export_meshes 200 --log_images \
+      --save_iterations 2000 4000 6000 8000 10000 "${RESUME[@]}"; then
+    ok=1; break
+  fi
+  echo "train attempt $i failed; cooling down the TPU tunnel and resuming" >&2
+  sleep 120
+done
+[ "$ok" = 1 ] || { echo "training failed after $ATTEMPTS attempts" >&2; exit 1; }
 
 python -m dgmesh_tpu.cli.mesh_evaluation --gt_dir "$DS/gt_eval" \
     --pred_dir "$RUN/meshes" --transforms "$DS/transforms_train.json" \
