@@ -154,8 +154,13 @@ def _deform_all(ctx: StepContext, nets, xyz, fid, noise, flags: StepFlags):
 
 
 def extract_mesh(ctx: StepContext, gp: G.GaussianParams, gs: G.GaussianStats,
-                 d_xyz, d_normal, freeze_pos: bool):
-    """DPSR → marching tets → world-space mesh (reference renderer.py:150-175)."""
+                 d_xyz, d_normal, freeze_pos: bool, with_diag: bool = False):
+    """DPSR → marching tets → world-space mesh (reference renderer.py:150-175).
+
+    with_diag=True additionally returns a dict of stop-gradient field health
+    scalars (psr range, corner level) — the collapse tripwire's instruments
+    (VERDICT r3: the mesh emptied at iter ~5100 with nothing logging why).
+    """
     pts = gp.xyz + d_xyz
     if freeze_pos:
         pts = jax.lax.stop_gradient(pts)
@@ -169,7 +174,18 @@ def extract_mesh(ctx: StepContext, gp: G.GaussianParams, gs: G.GaussianStats,
     m = marching_tets(psr, ctx.mt_cfg)
     verts_w = (m.verts * 2.0 - 1.0) * gs.gaussian_scale + gs.gaussian_center
     verts_w = jnp.where(m.vert_valid[:, None], verts_w, 0.0)
-    return m._replace(verts=verts_w)
+    m = m._replace(verts=verts_w)
+    if not with_diag:
+        return m
+    sg = jax.lax.stop_gradient
+    alive_n = jnp.maximum(gs.alive.sum(), 1)
+    diag = dict(
+        psr_min=sg(psr.min()), psr_max=sg(psr.max()),
+        psr_corner=sg(psr[0, 0, 0]),
+        normal_norm=sg(jnp.sum(jnp.where(gs.alive, jnp.linalg.norm(normals, axis=-1), 0.0)) / alive_n),
+        density_thres=sg(gp.density_thres),
+    )
+    return m, diag
 
 
 def _mesh_colors(ctx: StepContext, nets, verts_w, vert_valid, fid):
@@ -254,7 +270,9 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
 
     # --- mesh branch (train.py:248-285) ---
     if flags.mesh:
-        mesh = extract_mesh(ctx, gp, gs, d_xyz, d_normal, flags.freeze_pos)
+        mesh, mesh_diag = extract_mesh(ctx, gp, gs, d_xyz, d_normal,
+                                       flags.freeze_pos, with_diag=True)
+        aux.update(mesh_diag)
         vtx_color = _mesh_colors(ctx, nets, mesh.verts, mesh.vert_valid, batch.fid)
         # one shared verts[faces] gather for rasterizer + laplacian: their
         # per-corner cotangents sum before a single scatter-add in backward
@@ -370,7 +388,8 @@ def train_step(ctx: StepContext, state: TrainState, batch: Batch, key,
     metrics = dict(loss=loss, **aux["losses"], img_psnr=aux["img_psnr"],
                    n_alive=gs.alive.sum())
     for k in ("mesh_psnr", "mesh_overflow", "splat_overflow", "raster_overflow",
-              "mesh_n_verts", "mesh_n_faces"):
+              "mesh_n_verts", "mesh_n_faces", "psr_min", "psr_max",
+              "psr_corner", "normal_norm", "density_thres"):
         if k in aux:
             metrics[k] = aux[k]
     return new_state, metrics

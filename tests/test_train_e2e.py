@@ -112,6 +112,34 @@ def test_state_finite(tiny_run):
         assert np.isfinite(np.asarray(l)).all()
 
 
+def test_tripwires_halt(tiny_run, tmp_path):
+    """The trainer must halt (not keep burning TPU time) on the two failure
+    modes the r3 quality run actually died of: non-finite loss and an empty
+    mesh during the mesh phase (VERDICT r3 weak #2; reference analogue
+    --detect_anomaly, train.py:936).  Both paths checkpoint last-good +
+    tripped state for tools/nan_hunt.py."""
+    from dgmesh_tpu.train.loop import TrainingHalted
+
+    trainer, _ = tiny_run
+    save_dir = str(tmp_path / "trip")
+
+    # healthy metrics: records last-good, no raise
+    trainer._check_tripwires(100, {"loss": 1.0, "mesh_n_verts": 42}, save_dir)
+    assert trainer._last_good_state is trainer.state
+
+    with pytest.raises(TrainingHalted, match="non-finite loss"):
+        trainer._check_tripwires(101, {"loss": float("nan"),
+                                       "mesh_n_verts": 42}, save_dir)
+    with pytest.raises(TrainingHalted, match="empty mesh"):
+        trainer._check_tripwires(102, {"loss": 1.0, "mesh_n_verts": 0},
+                                 save_dir)
+    # both states were checkpointed for replay (save_checkpoint nests
+    # a checkpoint/ dir under the given root)
+    import os
+    assert any(f.startswith("state_")
+               for f in os.listdir(os.path.join(save_dir, "checkpoint")))
+
+
 def test_anchor_iteration_semantics(tiny_run):
     """Pin the combined anchor-iteration order of operations (VERDICT r1 #8).
 
@@ -139,8 +167,8 @@ def test_anchor_iteration_semantics(tiny_run):
     assert f.anchor and f.skip_gaussian_update and f.mesh
 
     cam = trainer.scene.train_cameras[0]
-    trainer.next_camera = lambda: cam
-    trainer.key = jax.random.PRNGKey(777)
+    trainer.next_camera = lambda it: cam
+    trainer.base_key = jax.random.PRNGKey(777)
     # deep-copy: the jitted step donates the state buffers, which would
     # invalidate `pre` for the replay below
     import jax.numpy as jnp
@@ -150,7 +178,9 @@ def test_anchor_iteration_semantics(tiny_run):
     post = trainer.state
 
     # replay the anchor step with the loop's exact key/batch wiring
-    _, k1, _, _ = jax.random.split(jax.random.PRNGKey(777), 4)
+    # (per-iteration fold_in stream, loop.py run_iteration)
+    k1, _, _ = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(777), it), 3)
     batch = trainer.get_batch(cam)
     gp_a, gs_a, mu_a, nu_a, info = trainer.anchor_fn(pre, batch, k1)
 

@@ -60,8 +60,9 @@ def main():
     for it in range(start + 1, args.to + 1):
         if it >= args.snap_from:
             snap = jax.device_get(trainer.state)
-            # capture the exact rng/batch wiring run_iteration will use
-            snap_meta = (it, jax.device_get(trainer.key))
+            # rng/batch wiring is pure fold_in(base, it) — the iteration
+            # alone pins the exact stream run_iteration will use
+            snap_meta = it
         m = trainer.run_iteration(it)
         loss = float(m["loss"])
         if it % 100 == 0:
@@ -87,9 +88,8 @@ def main():
     # re-run the failing step from the snapshot and inspect gradients
     from dgmesh_tpu.train.step import loss_and_aux
     import jax.numpy as jnp
-    it, key0 = snap_meta
+    it = snap_meta
     trainer.state = jax.device_put(snap)
-    trainer.key = jax.device_put(key0)
     flags_used = trainer.flags_for(it)
     print(f"failing-step flags: {flags_used}", flush=True)
 
