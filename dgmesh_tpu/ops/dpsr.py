@@ -224,10 +224,19 @@ def _slab_sort(points, res, live=None):
     return order, slab_sorted, start
 
 
-def _slab_planes(slab_sorted, start, payload_sorted, res, p_cap, body):
+def _slab_planes(slab_sorted, start, payload_sorted, res, p_cap, body,
+                 slab_ids=None):
     """lax.scan over slabs: slice ≤p_cap contributions, mask, run ``body``
-    (payload slice → (R1,R2[,C]) plane), stack planes into the grid."""
+    (payload slice → (R1,R2[,C]) plane), stack planes into the grid.
+
+    ``slab_ids`` (optional int32 vector, possibly traced): which slabs to
+    emit, default all of 0..res0-1.  A sharded caller passes its local x-range
+    (parallel/sharded_dpsr.py) — the sort/start arrays always cover the full
+    point set, so cross-boundary contributions land on whichever chip owns
+    their slab."""
     r0 = res[0]
+    if slab_ids is None:
+        slab_ids = jnp.arange(r0, dtype=jnp.int32)
 
     def scan_body(_, i):
         s = start[i]
@@ -236,16 +245,16 @@ def _slab_planes(slab_sorted, start, payload_sorted, res, p_cap, body):
         sl_pay = [lax.dynamic_slice_in_dim(p, s, p_cap) for p in payload_sorted]
         return None, body(i, mask, sl_pay)
 
-    _, planes = lax.scan(jax.checkpoint(scan_body),
-                         None, jnp.arange(r0, dtype=jnp.int32))
+    _, planes = lax.scan(jax.checkpoint(scan_body), None, slab_ids)
     return planes
 
 
-def point_rasterize(points, values, res, p_cap=None):
+def point_rasterize(points, values, res, p_cap=None, slab_ids=None):
     """Trilinear splat of per-point vectors into a periodic grid — slab-matmul
     formulation (see block comment above; zero scatters on TPU).
 
-    points: (N,3) in [0,1); values: (N,C).  Returns (res0,res1,res2,C).
+    points: (N,3) in [0,1); values: (N,C).  Returns (res0,res1,res2,C) — or
+    (len(slab_ids),res1,res2,C) when a slab subset is requested (sharded path).
     reference: dpsr_utils.point_rasterize :140-197 (periodic wrap via fmod).
     """
     r0, r1, r2 = res
@@ -275,10 +284,11 @@ def point_rasterize(points, values, res, p_cap=None):
             hy, rhs.reshape(p_cap, r2 * c), (((0,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST).reshape(r1, r2, c)
 
-    return _slab_planes(slab_sorted, start, payload, res, p_cap, body)
+    return _slab_planes(slab_sorted, start, payload, res, p_cap, body,
+                        slab_ids=slab_ids)
 
 
-def div_rasterize(points, normals, res, p_cap=None):
+def div_rasterize(points, normals, res, p_cap=None, slab_ids=None):
     """Directly splat the (negated) divergence of the oriented point set.
 
     For each point the trilinear hat kernel's analytic spatial derivative is
@@ -334,7 +344,8 @@ def div_rasterize(points, normals, res, p_cap=None):
                                  precision=lax.Precision.HIGHEST)
         return p1 + p2
 
-    return _slab_planes(slab_sorted, start, payload, res, p_cap, body)
+    return _slab_planes(slab_sorted, start, payload, res, p_cap, body,
+                        slab_ids=slab_ids)
 
 
 def _grid_interp_impl(grid, points, res):

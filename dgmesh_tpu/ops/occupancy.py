@@ -95,7 +95,15 @@ def sample_mesh_surface(key, verts, faces, face_valid, n_samples: int):
     areas = face_areas(verts, faces, face_valid)
     p = areas / jnp.maximum(areas.sum(), 1e-12)
     k1, k2 = jax.random.split(key)
-    fidx = jax.random.categorical(k1, jnp.log(p + 1e-20), shape=(n_samples,))
+    # inverse-CDF categorical: cumsum + sorted search.  gumbel-argmax
+    # (jax.random.categorical) broadcasts an (S, F) logits+noise tensor —
+    # 503 GB at the quality shapes (S=131k, F=960k); XLA:TPU fuses it into
+    # the reduce but XLA:CPU materializes it and OOMs.  O(F + S·logF) either
+    # way beats O(S·F).
+    cdf = jnp.cumsum(p)
+    u = jax.random.uniform(k1, (n_samples,), maxval=cdf[-1])
+    fidx = jnp.clip(jnp.searchsorted(cdf, u, side="right"),
+                    0, p.shape[0] - 1)
     tri = verts[faces[fidx]]                           # (S,3,3)
     uv = jax.random.uniform(k2, (n_samples, 2))
     su = jnp.sqrt(uv[:, :1])

@@ -69,9 +69,17 @@ def _local_bins(pre, cfg: SplatConfig, n_chips: int, axis: str):
     dkey = quantize_depth(depth, valid, dmin=dmin, dmax=dmax)
 
     tx0, ty0, nx, ny, _ = _tile_rects(mean2d, radius, valid, cfg)
+    # Per-chip duplicate capacity: Gaussians are index-sharded but tile load
+    # is spatially skewed (especially after densify appends), so an even
+    # max_dup/n split can overflow on a hot chip where the single-device path
+    # (full max_dup) would not.  2x headroom keeps the exact-parity contract
+    # under realistic skew; dup_overflow is psum'd into aux and surfaced as a
+    # training metric (splat_dup_overflow) so any residual overflow is loud
+    # (ADVICE r3 #1).
     bins = bin_rects(tx0, ty0, nx, ny, dkey, valid,
                      tiles_x=cfg.tiles_x, tiles_y=cfg.tiles_y,
-                     max_dup=max(cfg.max_dup // n_chips, 1024),
+                     max_dup=min(cfg.max_dup,
+                                 max(2 * cfg.max_dup // n_chips, 1024)),
                      max_per_tile=cfg.max_per_tile)
     dq = merge_depth_rank(dkey, cfg.num_tiles)
     # exact global K-truncation count: psum per-tile PRE-truncation entry
