@@ -168,12 +168,27 @@ def _tile_pixels(tile_ids, cfg):
     return pxx, pyy
 
 
+# Minimum doubled screen area (px²) for a face to take part in hard shading.
+# A face this small cannot meaningfully cover a pixel center, and dividing by
+# a near-zero (or, worse, sign-flipped by a naive clamp) area makes |bary|
+# explode to ~1e15: such slivers can spuriously win the z-buffer, their rgb
+# overflows f32 through the pw-normalization cancellation, and the bary
+# Jacobian (∝ e/area² ~ 1e24) mints 0·inf = NaN in EVERY backward that
+# touches the tile — the root cause of the r3 quality-run collapse (the
+# appearance net went NaN in one update at iter 5005; tools/grad_bisect.py).
+# Degenerate faces keep their soft-silhouette contribution (edge distances
+# are division-free) — only barycentric interpolation is gated.
+AREA_MIN = 1e-4
+
+
 def _bary_2d(tri, px, py):
     """Screen-space barycentrics of pixels vs triangles.
 
-    tri: (C,K,3,2); px,py: (C,P).  Returns bary (C,K,P,3) and the doubled
+    tri: (C,K,3,2); px,py: (C,P).  Returns bary (C,K,P,3), the doubled
     signed area (C,K,1) — negative for back-facing (still rendered,
-    nvdiffrast-style double-sided).
+    nvdiffrast-style double-sided) — and the non-degenerate mask
+    (|area| >= AREA_MIN, (C,K,1)); bary rows of degenerate faces are
+    computed against a unit area (bounded, gradient-dead via the mask).
     """
     ax, ay = tri[..., 0, 0][..., None], tri[..., 0, 1][..., None]   # (C,K,1)
     bx, by = tri[..., 1, 0][..., None], tri[..., 1, 1][..., None]
@@ -185,9 +200,10 @@ def _bary_2d(tri, px, py):
     e1 = (ax - cx) * (pye - cy) - (ay - cy) * (pxe - cx)   # opposite vert b
     e2 = (bx - ax) * (pye - ay) - (by - ay) * (pxe - ax)   # opposite vert c
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)   # (C,K,1)
-    area_safe = jnp.where(jnp.abs(area) < 1e-9, 1e-9, area)
+    live = jnp.abs(area) >= AREA_MIN
+    area_safe = jnp.where(live, area, 1.0)
     bary = jnp.stack([e0, e1, e2], axis=-1) / area_safe[..., None]
-    return bary, area
+    return bary, area, live
 
 
 def _edge_distance(tri, px, py):
@@ -225,8 +241,8 @@ def _shade_chunk(tile_ids, tidx, rast, colors_v, faces, bg, cfg, want_soft):
     inv_w = g[..., 6:9]                             # (C,K,3)
     px, py = _tile_pixels(tile_ids, cfg)            # (C,P)
 
-    bary, area = _bary_2d(tri, px, py)              # (C,K,P,3),(C,K,1)
-    inside = (bary >= 0.0).all(axis=-1) & gvalid[:, :, None]   # (C,K,P)
+    bary, area, alive = _bary_2d(tri, px, py)       # (C,K,P,3),(C,K,1)
+    inside = (bary >= 0.0).all(axis=-1) & gvalid[:, :, None] & alive  # (C,K,P)
     zi = jnp.einsum("ckpj,ckj->ckp", bary, inv_w,
                     precision=jax.lax.Precision.HIGHEST)   # interpolated 1/w
     zkey = jnp.where(inside, zi, -jnp.inf)
@@ -404,7 +420,7 @@ def render_mesh_shape(verts, faces, face_valid, pose, proj, cam_center,
     e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
     e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    area = jnp.where(jnp.abs(area) < 1e-9, 1e-9, area)
+    area = jnp.where(jnp.abs(area) < AREA_MIN, 1.0, area)  # see AREA_MIN note
     bary = jnp.stack([e0, e1, e2], axis=-1) / area[..., None]   # (H,W,3)
     pw = bary * inv_w                                       # perspective-correct
     pw = pw / jnp.maximum(pw.sum(-1, keepdims=True), 1e-12)

@@ -66,10 +66,15 @@ def _shade_kernel(attr_ref, rgb_ref, hard_ref, soft_ref, fid_ref, *,
     e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
     e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)    # (K,1)
-    area = jnp.where(jnp.abs(area) < 1e-9, 1e-9, area)
+    # AREA_MIN gate (see ops/mesh_raster.py): sub-pixel slivers are excluded
+    # from hard shading — a naive tiny-area clamp sign-flips back-wound
+    # slivers into spuriously-"inside" z-buffer winners with ~1e15 barys,
+    # whose overflow/Jacobians minted the r3 collapse NaNs
+    area_live = jnp.abs(area) >= 1e-4
+    area = jnp.where(area_live, area, 1.0)
     b0, b1, b2 = e0 / area, e1 / area, e2 / area
 
-    inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & valid
+    inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & valid & area_live
     zi = b0 * iw0 + b1 * iw1 + b2 * iw2                     # interpolated 1/w
     zkey = jnp.where(inside, zi, NEG)
     zmax = jnp.max(zkey, axis=0, keepdims=True)             # (1,P)
@@ -191,10 +196,10 @@ def _shade_bwd_kernel(attr_ref, g_rgb_ref, g_soft_ref, d_attr_ref, *,
     e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
     e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
     area_raw = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    area_live = jnp.abs(area_raw) >= 1e-9
-    area = jnp.where(area_live, area_raw, 1e-9)
+    area_live = jnp.abs(area_raw) >= 1e-4   # AREA_MIN gate — must match fwd
+    area = jnp.where(area_live, area_raw, 1.0)
     b0, b1, b2 = e0 / area, e1 / area, e2 / area
-    inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & valid
+    inside = (b0 >= 0.0) & (b1 >= 0.0) & (b2 >= 0.0) & valid & area_live
     zi = b0 * iw0 + b1 * iw1 + b2 * iw2
     zkey = jnp.where(inside, zi, NEG)
     zmax = jnp.max(zkey, axis=0, keepdims=True)
@@ -402,9 +407,10 @@ def _shade_ref(attrs, origins, tile_h: int, tile_w: int, sigma: float,
         e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
         e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
         area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-        area = jnp.where(jnp.abs(area) < 1e-9, 1e-9, area)
+        area_live = jnp.abs(area) >= 1e-4   # AREA_MIN gate — must match kernel
+        area = jnp.where(area_live, area, 1.0)
         bary = jnp.stack([e0, e1, e2], -1) / area[..., None]  # (C,K,P,3)
-        inside = (bary >= 0.0).all(-1) & valid              # (C,K,P)
+        inside = (bary >= 0.0).all(-1) & valid & area_live  # (C,K,P)
         zi = jnp.einsum("ckpj,ckj->ckp", bary, iw)
         zkey = jnp.where(inside, zi, NEG)
         winslot = jnp.argmax(zkey, axis=1)                  # (C,P) first max

@@ -114,10 +114,20 @@ class Trainer:
                 cfg, gp, gs, mu, nu, extent, key, use_size),
             static_argnames=("use_size",))
         self.reset_opacity_fn = jax.jit(reset_opacity)
+        eff_occ = min(cfg.model.grid_res, cfg.tpu.occ_res)
+        if eff_occ < 256:
+            # reference runs the one-shot init occupancy at 256³
+            # (gaussian_model_dpsr_dynamic_anchor.py:695-704); tpu.occ_res
+            # defaults lower to dodge an axon backend fault at >=192
+            # (ops/occupancy.py) — warn so a silent downgrade of the normal
+            # seed is visible in every run log (ADVICE r3 #2)
+            print(f"[normal-init] occupancy grid at {eff_occ}^3 "
+                  f"(reference: 256^3; raise tpu.occ_res when the backend "
+                  f"fault is fixed)", flush=True)
         self.normal_init_fn = jax.jit(
             lambda gp, gs, nets, fid, key: normal_initialization(
                 cfg, ctx.f32().nets_def, gp, gs, nets, fid, key,
-                occ_res=min(cfg.model.grid_res, cfg.tpu.occ_res)))
+                occ_res=eff_occ))
 
     # ---- flag schedule (reference train.py gates) ----
     def flags_for(self, it: int) -> StepFlags:
@@ -200,6 +210,10 @@ class Trainer:
         if anchor_result is not None:
             gp_a, gs_a, mu_a, nu_a = anchor_result
             new_state = new_state._replace(gp=gp_a, gs=gs_a, g_mu=mu_a, g_nu=nu_a)
+            # at-scale evidence for the paper's core mechanism (VERDICT r3 #9):
+            # partition sizes + surgery counts land in train_log.jsonl
+            for k, v in anchor_info["stats"].items():
+                metrics[f"anchor_{k}"] = v
 
         # densify / prune window (train.py:489-515)
         if flags.densify_stats and not flags.anchor:
@@ -258,7 +272,10 @@ class Trainer:
         elif mesh_on and int(nv) == 0:
             bad = "empty mesh (mesh_n_verts == 0) during the mesh phase"
         if bad is None:
-            self._last_good_state = self.state
+            # the jitted step DONATES the state buffers, so a bare reference
+            # is deleted by the next iteration — keep an explicit device copy
+            # (one ~130 MB copy per tripwire_every iters, negligible)
+            self._last_good_state = jax.tree.map(jnp.copy, self.state)
             return
         from .checkpoint import save_checkpoint
         out = save_dir or (self.cfg.model.model_path or ".")
@@ -310,9 +327,17 @@ class Trainer:
                              f"(V={int(m.get('mesh_n_verts', 0))}/"
                              f"F={int(m.get('mesh_n_faces', 0))} at caps — "
                              f"raise max_verts/max_faces)")
-                if m.get("splat_overflow", 0) > 0 or m.get("raster_overflow", 0) > 0:
+                if m.get("nonfinite_grad_leaves", 0) > 0:
+                    line += (f"  !! NONFINITE GRADS zeroed "
+                             f"({int(m['nonfinite_grad_leaves'])} leaves)")
+                if (m.get("splat_overflow", 0) > 0
+                        or m.get("raster_overflow", 0) > 0
+                        or m.get("splat_dup_overflow", 0) > 0):
                     line += (f"  [tile-K ovf s={int(m.get('splat_overflow', 0))} "
-                             f"r={int(m.get('raster_overflow', 0))}]")
+                             f"r={int(m.get('raster_overflow', 0))}"
+                             + (f" dup={int(m['splat_dup_overflow'])}"
+                                if m.get("splat_dup_overflow", 0) > 0 else "")
+                             + "]")
                 print(line, flush=True)
                 if on_log:
                     on_log(m)

@@ -168,6 +168,16 @@ def gaussian_adam_update(gp: GaussianParams, grads: GaussianParams,
         m, v = getattr(mu, name), getattr(nu, name)
         lr = getattr(lrs, name)
         p2, m2, v2 = upd(p, g, m, v, lr, masked=(name != "density_thres"))
+        if name == "density_thres":
+            # Projection guard (deviation; the reference leaves the iso-level
+            # unconstrained).  The DPSR field is normalized to corner = +0.5,
+            # interior negative, so any |thr| >= 0.5 guarantees an EMPTY mesh
+            # with zero gradient everywhere — a one-way death the r3 quality
+            # run hit when a truncated-raster mask gradient ran the iso-level
+            # out of the field's range (V=0 at iter 5100, VERDICT r3 #1).
+            # |thr| <= 0.35 keeps every reference-reachable value (their runs
+            # sit near 0) while making the runaway physically impossible.
+            p2 = jnp.clip(p2, -0.35, 0.35)
         new_p.append(p2)
         new_m.append(m2)
         new_v.append(v2)

@@ -81,6 +81,16 @@ class StepContext:
         self.cfg = cfg
         self.device_mesh = device_mesh
         t = cfg.tpu
+        if device_mesh is not None:
+            # Validate the sharding contract HERE, not deep inside the jitted
+            # step (ADVICE r3 #4): every index-sharded capacity must divide
+            # evenly across chips.
+            n = device_mesh.devices.size
+            if t.max_gaussians % n:
+                raise ValueError(
+                    f"tpu.max_gaussians={t.max_gaussians} is not divisible by "
+                    f"the {n}-device mesh; pick a multiple of {n} (sharded "
+                    "splat index-shards the padded Gaussian axis)")
         self.splat_cfg = splat.SplatConfig(
             width=width, height=height, tile_h=t.tile_h, tile_w=t.tile_w,
             max_per_tile=t.max_gaussians_per_tile, max_dup=t.max_dup,
@@ -167,7 +177,13 @@ def extract_mesh(ctx: StepContext, gp: G.GaussianParams, gs: G.GaussianStats,
     p01 = (pts - gs.gaussian_center) / gs.gaussian_scale / 2.0 + 0.5
     p01 = jnp.clip(p01, SMALL, 1.0 - SMALL)
     normals = gp.normal + d_normal
-    psr = ctx.dpsr(p01, normals, gs.alive)
+    if (ctx.device_mesh is not None and ctx.dpsr.div_mode == "splat"
+            and ctx.dpsr.res[0] % ctx.device_mesh.devices.size == 0):
+        from ..parallel.sharded_dpsr import dpsr_sharded
+        psr = dpsr_sharded(ctx.device_mesh, ctx.dpsr, p01, normals, gs.alive,
+                           axis=ctx.cfg.tpu.mesh_axis)
+    else:
+        psr = ctx.dpsr(p01, normals, gs.alive)
     sign = jnp.sign(jax.lax.stop_gradient(psr[0, 0, 0]))
     sign = jnp.where(sign == 0, 1.0, sign)
     psr = psr * sign - gp.density_thres
@@ -204,8 +220,14 @@ def _mesh_colors(ctx: StepContext, nets, verts_w, vert_valid, fid):
 
 def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
                  screen_offset, gs: G.GaussianStats, batch: Batch, key,
-                 step_f, flags: StepFlags, anchor_info=None):
-    """Total loss (reference train.py:193-321). Returns (loss, aux)."""
+                 step_f, flags: StepFlags, anchor_info=None,
+                 with_live_losses: bool = False):
+    """Total loss (reference train.py:193-321). Returns (loss, aux).
+
+    with_live_losses=True additionally returns the NON-stop-gradient loss
+    components under aux["losses_live"] so diagnostic tools
+    (tools/replay_collapse.py) can take per-component gradients; the train
+    step never sets it."""
     cfg = ctx.cfg
     o = cfg.optimization
     M = gp.xyz.shape[0]
@@ -244,6 +266,9 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
     aux["radii"] = out["radii"]
     aux["visibility"] = out["visibility"]
     aux["splat_overflow"] = out["aux"]["tile_overflow"]
+    # duplicate-list truncation (distinct failure mode from tile-K: it drops
+    # whole tile entries before depth sorting) — silent in r3 (ADVICE #1)
+    aux["splat_dup_overflow"] = out["aux"]["dup_overflow"]
 
     # --- cycle consistency (train.py:198-240) ---
     if not flags.warm:
@@ -329,6 +354,8 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
     for k, v in losses.items():
         total = total + v
     aux["losses"] = {k: jax.lax.stop_gradient(v) for k, v in losses.items()}
+    if with_live_losses:
+        aux["losses_live"] = losses
     return total, aux
 
 
@@ -345,6 +372,28 @@ def train_step(ctx: StepContext, state: TrainState, batch: Batch, key,
                                           key, step_f, flags, anchor_info),
         argnums=(0, 1, 2), has_aux=True)
     (loss, aux), (g_gp, g_nets, g_screen) = grad_fn(state.gp, state.nets, screen0)
+
+    # Gradient sanitizer (deviation; reference analogue --detect_anomaly,
+    # train.py:936 — but self-healing instead of crashing).  The axon TPU
+    # backend has twice miscompiled large fused programs into NaN-minting
+    # executables (occupancy ≥192³, r3; the appearance-MLP forward/backward
+    # at V≈285k, r4 — CPU bit-clean on the same state, DESIGN.md §3c).  A
+    # single non-finite gradient leaf zeroes that leaf's update instead of
+    # destroying the net; the count is surfaced as `nonfinite_grad_leaves`
+    # and the loop tripwire still halts if loss itself goes non-finite.
+    def _sanitize(tree):
+        bad = jnp.int32(0)
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        out = []
+        for leaf in leaves:
+            ok = jnp.isfinite(leaf).all()
+            bad = bad + (1 - ok.astype(jnp.int32))
+            out.append(jnp.where(ok, leaf, jnp.zeros_like(leaf)))
+        return jax.tree_util.tree_unflatten(treedef, out), bad
+
+    g_gp, bad_gp = _sanitize(g_gp)
+    g_nets, bad_nets = _sanitize(g_nets)
+    nonfinite_grad_leaves = bad_gp + bad_nets
 
     # densification statistics (train.py:489-496)
     gs = state.gs
@@ -386,8 +435,10 @@ def train_step(ctx: StepContext, state: TrainState, batch: Batch, key,
                            g_mu=g_mu, g_nu=g_nu, g_count=g_count,
                            net_opt=NetParams(**new_opts), step=state.step + 1)
     metrics = dict(loss=loss, **aux["losses"], img_psnr=aux["img_psnr"],
-                   n_alive=gs.alive.sum())
-    for k in ("mesh_psnr", "mesh_overflow", "splat_overflow", "raster_overflow",
+                   n_alive=gs.alive.sum(),
+                   nonfinite_grad_leaves=nonfinite_grad_leaves)
+    for k in ("mesh_psnr", "mesh_overflow", "splat_overflow",
+              "splat_dup_overflow", "raster_overflow",
               "mesh_n_verts", "mesh_n_faces", "psr_min", "psr_max",
               "psr_corner", "normal_norm", "density_thres"):
         if k in aux:

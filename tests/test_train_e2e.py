@@ -123,9 +123,16 @@ def test_tripwires_halt(tiny_run, tmp_path):
     trainer, _ = tiny_run
     save_dir = str(tmp_path / "trip")
 
-    # healthy metrics: records last-good, no raise
+    # healthy metrics: records last-good as an explicit device COPY — a bare
+    # reference is useless because the jitted step donates the state buffers
+    # (the r4 smoke run's tripwire crashed on exactly that: "Array has been
+    # deleted")
     trainer._check_tripwires(100, {"loss": 1.0, "mesh_n_verts": 42}, save_dir)
-    assert trainer._last_good_state is trainer.state
+    lg = trainer._last_good_state
+    assert lg is not trainer.state
+    assert int(lg.step) == int(trainer.state.step)
+    assert lg.gp.xyz.unsafe_buffer_pointer() != \
+        trainer.state.gp.xyz.unsafe_buffer_pointer()
 
     with pytest.raises(TrainingHalted, match="non-finite loss"):
         trainer._check_tripwires(101, {"loss": float("nan"),
