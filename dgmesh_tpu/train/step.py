@@ -187,7 +187,15 @@ def extract_mesh(ctx: StepContext, gp: G.GaussianParams, gs: G.GaussianStats,
     sign = jnp.sign(jax.lax.stop_gradient(psr[0, 0, 0]))
     sign = jnp.where(sign == 0, 1.0, sign)
     psr = psr * sign - gp.density_thres
-    m = marching_tets(psr, ctx.mt_cfg)
+    if (ctx.device_mesh is not None and not ctx.mt_cfg.use_narrow_band
+            and ctx.mt_cfg.res % ctx.device_mesh.devices.size == 0):
+        from ..parallel.sharded_mt import marching_tets_sharded
+        # block-prefix validity layout (see parallel/sharded_mt.py): every
+        # in-step consumer below is vert_valid/face_valid mask-driven
+        m = marching_tets_sharded(ctx.device_mesh, psr, ctx.mt_cfg,
+                                  axis=ctx.cfg.tpu.mesh_axis)
+    else:
+        m = marching_tets(psr, ctx.mt_cfg)
     verts_w = (m.verts * 2.0 - 1.0) * gs.gaussian_scale + gs.gaussian_center
     verts_w = jnp.where(m.vert_valid[:, None], verts_w, 0.0)
     m = m._replace(verts=verts_w)

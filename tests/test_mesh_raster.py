@@ -265,3 +265,41 @@ def test_render_mesh_shape_per_pixel_phong():
     err_gr = np.abs(gouraud - ref_img).mean()
     assert err_pp < err_gr, (err_pp, err_gr)
     assert err_pp < 0.01, err_pp
+
+
+def test_degenerate_sliver_faces_are_nan_safe():
+    """r4 collapse regression (DESIGN.md 3c): a near-zero-area sliver must
+    neither win z-buffer coverage (the old tiny-area clamp sign-flipped it
+    "inside" with ~1e15 barys) nor mint NaN/inf through the backward — the
+    exact mechanism that produced NaN geometry grads tile-wide at r3 quality
+    state_5004."""
+    pose, proj = look_at_camera()
+    verts, faces = quad(z=0.0)
+    # append a degenerate sliver IN FRONT of the quad: two coincident corners
+    eps = 1e-6
+    sl = jnp.asarray([[-0.4, -0.4, 0.5], [0.4, 0.4, 0.5],
+                      [0.4 + eps, 0.4 + eps, 0.5]], jnp.float32)
+    verts_all = jnp.concatenate([verts, sl], axis=0)
+    faces_all = jnp.concatenate(
+        [faces, jnp.asarray([[4, 5, 6]], jnp.int32)], axis=0)
+    fvalid = jnp.ones(faces_all.shape[0], bool)
+    colors = jnp.ones((verts_all.shape[0], 3)) * 0.5
+    bg = jnp.zeros(3)
+    cfg = CFG._replace(cull_backface=False)
+
+    def render_losses(v, c):
+        out = mr.render_mesh(v, faces_all, fvalid, c, pose, proj, bg, cfg,
+                             want_soft=True)
+        return out["rgb"].sum() + out["soft_mask"].sum(), out
+
+    (val, out), (g_v, g_c) = jax.value_and_grad(
+        render_losses, argnums=(0, 1), has_aux=True)(verts_all, colors)
+
+    # the sliver never appears as a z-buffer winner
+    assert not np.any(np.asarray(out["face_id"]) == 2)
+    # forward image finite and bounded
+    rgb = np.asarray(out["rgb"])
+    assert np.isfinite(rgb).all() and np.abs(rgb).max() <= 1.0
+    # every gradient finite (the old clamp made these NaN via 0*inf)
+    for g in (g_v, g_c):
+        assert np.isfinite(np.asarray(g)).all()

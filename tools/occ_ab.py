@@ -65,8 +65,27 @@ def main():
     trainer = Trainer(cfg, scene, seed=args.seed)
     trainer.state = load_checkpoint(trainer.state, args.run, args.ckpt_iter)
     state = trainer.state
-    print(f"state at step {int(state.step)}, alive={int(np.asarray(state.gs.alive).sum())}",
-          flush=True)
+    n_alive = int(np.asarray(state.gs.alive).sum())
+    print(f"state at step {int(state.step)}, alive={n_alive}", flush=True)
+
+    # Compact to alive rows (padded to a chunk multiple): dead gaussians
+    # contribute zero opacity to the occupancy and zeros elsewhere, and the
+    # CPU brute-force is O(cells x M) — at M=131072 padded vs ~16k alive
+    # that's the difference between hours and minutes per resolution.
+    alive_idx = np.flatnonzero(np.asarray(state.gs.alive))
+    Mc = max(8192, int(-(-n_alive // 8192) * 8192))
+    sel = jnp.asarray(np.concatenate(
+        [alive_idx, np.zeros(Mc - n_alive, dtype=np.int64)]))
+    keep = jnp.asarray(np.arange(Mc) < n_alive)
+    M_full = state.gp.xyz.shape[0]
+
+    def take(a):
+        return (a[sel] if getattr(a, "ndim", 0) >= 1
+                and a.shape[0] == M_full else a)
+
+    state = state._replace(gp=jax.tree.map(take, state.gp),
+                           gs=jax.tree.map(take, state.gs))
+    state = state._replace(gs=state.gs._replace(alive=keep))
 
     it = cfg.optimization.dpsr_iter
     cam = trainer.next_camera(it)
