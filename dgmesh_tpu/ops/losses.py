@@ -17,7 +17,18 @@ import jax.numpy as jnp
 
 
 def l1_loss(x, y):
-    return jnp.abs(x - y).mean()
+    """Mean absolute error with TORCH's subgradient convention at 0.
+
+    jnp.abs defines d|x|/dx at x=0 as +1; torch.abs (the reference's l1_loss,
+    utils/loss_utils.py) defines it as 0.  The difference is load-bearing for
+    the x100 mask loss: with the straight-through mask every correctly-
+    covered pixel has diff EXACTLY 0, and jnp.abs's +1 subgradient turns the
+    whole matched region into a spurious grow-pressure on the soft-silhouette
+    pathway (the r4 divergence, second mechanism).  d*sign(d) has value |d|
+    and VJP sign(d), which is 0 at 0 — torch parity.
+    """
+    d = x - y
+    return (d * jnp.sign(d)).mean()
 
 
 def l2_loss(x, y):

@@ -87,6 +87,26 @@ class Trainer:
         # device sync — negligible at training step times).
         self.tripwire_every = 25
         self._last_good_state: Optional[TrainState] = None
+        # Not-learning tripwires (VERDICT r4 #4): the r4 quality run burned
+        # 2,500+ iterations visibly dead — density_thres pinned at its
+        # projection bound and mesh_psnr flat at 14-18 — states the
+        # NaN/empty tripwires cannot see.  Both counters advance once per
+        # tripwire check (every tripwire_every iters):
+        #   thr pinned  : |thr| within thr_pin_eps of DENSITY_THRES_BOUND for
+        #                 thr_pin_checks consecutive checks (default 1000 it)
+        #   psnr flat   : after mesh_grace iters of mesh phase, mesh_psnr has
+        #                 stayed below mesh_psnr_floor for psnr_flat_checks
+        #                 consecutive checks (default 2000 it) — a healthy
+        #                 mesh phase passes 18 dB within a few hundred iters
+        #                 (the r4 run never did in 4,800).
+        self.thr_pin_eps = 0.005
+        self.thr_pin_checks = 40
+        self.psnr_flat_checks = 80
+        self.mesh_psnr_floor = 18.0
+        self.mesh_grace_iters = 1500
+        self._thr_pinned_streak = 0
+        self._psnr_low_streak = 0
+        self._mesh_first_iter: Optional[int] = None
 
         ctx = self.ctx
 
@@ -263,6 +283,7 @@ class Trainer:
         warning: non-finite loss, and an empty mesh during the mesh phase
         (reference analogue: --detect_anomaly, train.py:936).  Saves the
         last-known-good state (and the tripped state) for tools/nan_hunt.py."""
+        from .state import DENSITY_THRES_BOUND
         loss = float(metrics["loss"])
         nv = metrics.get("mesh_n_verts")
         mesh_on = nv is not None
@@ -271,6 +292,34 @@ class Trainer:
             bad = f"non-finite loss ({loss})"
         elif mesh_on and int(nv) == 0:
             bad = "empty mesh (mesh_n_verts == 0) during the mesh phase"
+        if mesh_on and bad is None:
+            if self._mesh_first_iter is None:
+                self._mesh_first_iter = it
+            thr = float(metrics.get("density_thres", 0.0))
+            if abs(thr) >= DENSITY_THRES_BOUND - self.thr_pin_eps:
+                self._thr_pinned_streak += 1
+            else:
+                self._thr_pinned_streak = 0
+            mp = metrics.get("mesh_psnr")
+            in_grace = it - self._mesh_first_iter < self.mesh_grace_iters
+            if mp is not None and not in_grace:
+                if float(mp) < self.mesh_psnr_floor:
+                    self._psnr_low_streak += 1
+                else:
+                    self._psnr_low_streak = 0
+            if self._thr_pinned_streak >= self.thr_pin_checks:
+                bad = (f"density_thres pinned at its +-{DENSITY_THRES_BOUND} "
+                       f"projection bound for {self._thr_pinned_streak} "
+                       f"consecutive checks (~"
+                       f"{self._thr_pinned_streak * self.tripwire_every} iters)"
+                       " — the optimizer persistently wants an out-of-range "
+                       "iso-level; the mesh phase is not learning")
+            elif self._psnr_low_streak >= self.psnr_flat_checks:
+                bad = (f"mesh_psnr below {self.mesh_psnr_floor} dB for "
+                       f"{self._psnr_low_streak} consecutive checks (~"
+                       f"{self._psnr_low_streak * self.tripwire_every} iters) "
+                       f"after the {self.mesh_grace_iters}-iter grace window "
+                       "— the mesh phase is not learning")
         if bad is None:
             # the jitted step DONATES the state buffers, so a bare reference
             # is deleted by the next iteration — keep an explicit device copy

@@ -31,6 +31,12 @@ from ..schedules import expon_lr
 
 ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-15  # reference: Adam(eps=1e-15)
 
+# density_thres projection bound (see gaussian_adam_update): |thr| >= 0.5
+# guarantees an empty mesh on the corner-normalized DPSR field, so +-0.35
+# keeps every reference-reachable value while making the one-way runaway
+# impossible.  Shared with the trainer's pinned-at-bound tripwire (loop.py).
+DENSITY_THRES_BOUND = 0.35
+
 
 class NetParams(NamedTuple):
     deform: Any
@@ -177,7 +183,7 @@ def gaussian_adam_update(gp: GaussianParams, grads: GaussianParams,
             # out of the field's range (V=0 at iter 5100, VERDICT r3 #1).
             # |thr| <= 0.35 keeps every reference-reachable value (their runs
             # sit near 0) while making the runaway physically impossible.
-            p2 = jnp.clip(p2, -0.35, 0.35)
+            p2 = jnp.clip(p2, -DENSITY_THRES_BOUND, DENSITY_THRES_BOUND)
         new_p.append(p2)
         new_m.append(m2)
         new_v.append(v2)

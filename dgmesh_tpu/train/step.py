@@ -310,10 +310,26 @@ def loss_and_aux(ctx: StepContext, gp: G.GaussianParams, nets: NetParams,
         # one shared verts[faces] gather for rasterizer + laplacian: their
         # per-corner cotangents sum before a single scatter-add in backward
         tri_w = mesh.verts[mesh.faces]
-        mout = MR.render_mesh(mesh.verts, mesh.faces, mesh.face_valid, vtx_color,
-                              batch.mesh_pose, batch.mesh_proj, batch.bg,
-                              ctx.mr_cfg, want_soft=True, tri_w=tri_w)
-        mask = mout["soft_mask"]
+        if (ctx.device_mesh is not None
+                and mesh.faces.shape[0] % ctx.device_mesh.devices.size == 0):
+            from ..parallel.sharded_mr import render_mesh_sharded
+            mout = render_mesh_sharded(
+                ctx.device_mesh, mesh.verts, mesh.faces, mesh.face_valid,
+                vtx_color, batch.mesh_pose, batch.mesh_proj, batch.bg,
+                ctx.mr_cfg, want_soft=True, tri_w=tri_w,
+                axis=ctx.cfg.tpu.mesh_axis)
+        else:
+            mout = MR.render_mesh(mesh.verts, mesh.faces, mesh.face_valid,
+                                  vtx_color, batch.mesh_pose, batch.mesh_proj,
+                                  batch.bg, ctx.mr_cfg, want_soft=True,
+                                  tri_w=tri_w)
+        # straight-through mask: hard-coverage VALUE (reference parity — a
+        # correct silhouette has exactly zero loss), SoftRas GRADIENT.  The
+        # raw soft silhouette saturates below 1.0 between ~1px triangles and
+        # its x100 L1 exerted a permanent grow-pressure that ran
+        # density_thres to its clamp in 100 iters (r4 divergence; see
+        # ops/mesh_raster._add_st_mask).
+        mask = mout["st_mask"]
         mesh_image = mout["rgb"].transpose(2, 0, 1)
 
         losses["mask_loss"] = (L.l1_loss(mask, batch.gt_mask)

@@ -303,3 +303,73 @@ def test_degenerate_sliver_faces_are_nan_safe():
     # every gradient finite (the old clamp made these NaN via 0*inf)
     for g in (g_v, g_c):
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_st_mask_value_is_hard_coverage():
+    """Straight-through mask VALUE must equal the hard z-buffer coverage
+    exactly (reference parity: train.py:266's mask comes from dr.rasterize +
+    antialias, 1.0 inside / 0.0 outside — a correct mesh has zero loss)."""
+    verts, faces = quad()
+    pose, proj = look_at_camera()
+    colors = jnp.ones((4, 3))
+    out = mr.render_mesh(verts, faces, jnp.ones(2, bool), colors, pose, proj,
+                         jnp.zeros(3), CFG)
+    np.testing.assert_array_equal(np.asarray(out["st_mask"]),
+                                  np.asarray(out["mask"]))
+
+
+def test_st_mask_l1_no_grow_pressure_on_perfect_mesh():
+    """The r4 divergence repro: under the x100 L1 mask loss, a mesh whose
+    hard silhouette MATCHES the GT must receive ~zero vertex gradient through
+    the straight-through mask (the raw soft silhouette saturates below 1.0
+    inside and exerted a permanent grow-pressure — density_thres ran to its
+    clamp in 100 iters, train_log.jsonl 5000-5100)."""
+    verts, faces = quad()
+    pose, proj = look_at_camera()
+    colors = jnp.ones((4, 3))
+    out = mr.render_mesh(verts, faces, jnp.ones(2, bool), colors, pose, proj,
+                         jnp.zeros(3), CFG)
+    gt = jax.lax.stop_gradient(out["mask"])   # GT = own hard silhouette
+
+    from dgmesh_tpu.ops.losses import l1_loss
+
+    def mask_l1(v, key):
+        o = mr.render_mesh(v, faces, jnp.ones(2, bool), colors, pose, proj,
+                           jnp.zeros(3), CFG)
+        # l1_loss, not jnp.abs: torch's subgradient-at-zero convention is
+        # part of the fix (see losses.l1_loss docstring)
+        return l1_loss(o[key], gt) * 100.0
+
+    g_st = np.asarray(jax.grad(mask_l1)(verts, "st_mask"))
+    assert np.isfinite(g_st).all()
+    assert np.abs(g_st).max() < 1e-6, f"grow-pressure survived: {g_st}"
+    # contrast: the raw soft silhouette DOES push on a perfect mesh
+    g_soft = np.asarray(jax.grad(mask_l1)(verts, "soft_mask"))
+    assert np.abs(g_soft).max() > 1e-3
+
+
+def test_st_mask_l1_gradient_is_bidirectional():
+    """Mismatch pixels still steer: GT bigger -> descent grows the quad;
+    GT smaller -> descent shrinks it."""
+    verts, faces = quad()
+    pose, proj = look_at_camera()
+    colors = jnp.ones((4, 3))
+
+    def silhouette(scale):
+        o = mr.render_mesh(verts * scale, faces, jnp.ones(2, bool), colors,
+                           pose, proj, jnp.zeros(3), CFG)
+        return jax.lax.stop_gradient(o["mask"])
+
+    from dgmesh_tpu.ops.losses import l1_loss
+
+    def mask_l1(v, gt):
+        o = mr.render_mesh(v, faces, jnp.ones(2, bool), colors, pose, proj,
+                           jnp.zeros(3), CFG)
+        return l1_loss(o["st_mask"], gt) * 100.0
+
+    for scale, should_grow in ((1.4, True), (0.7, False)):
+        g = np.asarray(jax.grad(mask_l1)(verts, silhouette(scale)))
+        assert np.isfinite(g).all() and np.abs(g).sum() > 0
+        step = np.asarray(verts) - 1e-2 * g / np.abs(g).max()
+        grew = np.abs(step[:, :2]).sum() > np.abs(np.asarray(verts)[:, :2]).sum()
+        assert grew == should_grow, (scale, g)

@@ -147,6 +147,51 @@ def test_tripwires_halt(tiny_run, tmp_path):
                for f in os.listdir(os.path.join(save_dir, "checkpoint")))
 
 
+def test_not_learning_tripwires(tiny_run, tmp_path):
+    """VERDICT r4 #4: halt when the mesh phase is visibly dead — the r4
+    quality run burned 2,500+ iterations with density_thres pinned at its
+    projection bound and mesh_psnr flat at 14-18, invisible to the
+    NaN/empty tripwires."""
+    from dgmesh_tpu.train.loop import TrainingHalted
+    from dgmesh_tpu.train.state import DENSITY_THRES_BOUND
+
+    trainer, _ = tiny_run
+    save_dir = str(tmp_path / "nl")
+
+    # density_thres pinned at the bound for thr_pin_checks consecutive checks
+    trainer._thr_pinned_streak = 0
+    trainer._mesh_first_iter = None
+    pinned = {"loss": 1.0, "mesh_n_verts": 42, "mesh_psnr": 25.0,
+              "density_thres": DENSITY_THRES_BOUND}
+    for i in range(trainer.thr_pin_checks - 1):
+        trainer._check_tripwires(100 + i, pinned, save_dir)
+    with pytest.raises(TrainingHalted, match="pinned"):
+        trainer._check_tripwires(999, pinned, save_dir)
+
+    # a single un-pinned check resets the streak
+    trainer._thr_pinned_streak = trainer.thr_pin_checks - 1
+    trainer._check_tripwires(1000, {**pinned, "density_thres": 0.1}, save_dir)
+    assert trainer._thr_pinned_streak == 0
+
+    # mesh_psnr flat below the floor after the grace window
+    trainer._psnr_low_streak = 0
+    trainer._mesh_first_iter = None
+    flat = {"loss": 1.0, "mesh_n_verts": 42, "mesh_psnr": 15.0,
+            "density_thres": 0.0}
+    trainer._check_tripwires(5000, flat, save_dir)   # sets _mesh_first_iter
+    assert trainer._psnr_low_streak == 0             # grace window active
+    it = 5000 + trainer.mesh_grace_iters
+    for i in range(trainer.psnr_flat_checks - 1):
+        trainer._check_tripwires(it + i, flat, save_dir)
+    with pytest.raises(TrainingHalted, match="not learning"):
+        trainer._check_tripwires(it + 999, flat, save_dir)
+
+    # recovery resets: one healthy mesh_psnr clears the streak
+    trainer._psnr_low_streak = trainer.psnr_flat_checks - 1
+    trainer._check_tripwires(it + 1000, {**flat, "mesh_psnr": 25.0}, save_dir)
+    assert trainer._psnr_low_streak == 0
+
+
 def test_anchor_iteration_semantics(tiny_run):
     """Pin the combined anchor-iteration order of operations (VERDICT r1 #8).
 

@@ -135,8 +135,8 @@ def main():
         mout = MR.render_mesh(verts, mesh.faces, mesh.face_valid, vcol,
                               batch.mesh_pose, batch.mesh_proj, batch.bg,
                               ctx.mr_cfg, want_soft=True)
-        mask_loss = (L.l1_loss(mout["soft_mask"], batch.gt_mask)
-                     * 100.0 * o.mask_loss_weight)
+        mask_loss = (L.l1_loss(mout["st_mask"], batch.gt_mask)
+                     * 100.0 * o.mask_loss_weight)  # st_mask: mirror train/step.py
         mesh_image = mout["rgb"].transpose(2, 0, 1)
         img_loss = (L.image_loss(mesh_image, batch.gt_image, o.lambda_dssim)
                     * o.mesh_img_loss_weight)
