@@ -167,6 +167,14 @@ class TpuParams:
                                           # fallback); ~50 ms/step faster on
                                           # clean surfaces, ~35 ms/step slower
                                           # on saturated/noisy fields
+    scan_steps: int = 1                   # iterations fused per dispatch via
+                                          # lax.scan (train/loop.py run_chunk):
+                                          # amortizes the ~1 s axon tunnel RTT
+                                          # per jitted call over k steps; 1 =
+                                          # single-step dispatch (CPU tests).
+                                          # Streams are bit-identical to the
+                                          # single-step path (pinned by
+                                          # test_train_e2e.py)
 
 
 _GROUPS = {

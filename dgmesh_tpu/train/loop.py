@@ -80,6 +80,8 @@ class Trainer:
         self.base_key = jax.random.PRNGKey(seed)
         self._step_cache: Dict = {}
         self._batch_cache: Dict = {}
+        self._no_scan = set()  # flag-sets whose scan program failed to
+                               # compile: fall back to single-step dispatch
         self.metrics_history = []
         # Tripwires (VERDICT r3 weak #2): a non-finite loss or an empty mesh
         # during the mesh phase halts the run instead of burning TPU-hours on
@@ -179,17 +181,19 @@ class Trainer:
             self._step_cache[flags] = jax.jit(fn, donate_argnums=donate)
         return self._step_cache[flags]
 
-    def next_camera(self, it: int) -> Camera:
+    def next_camera_idx(self, it: int) -> int:
         """Random-without-replacement camera schedule (reference
         train.py:146-151's stack-pop), derived purely from (seed, iteration)
         so any resume point reproduces the original stream: iterations are
         grouped into epochs of len(cameras); each epoch's order is an
         independent seeded permutation."""
-        cams = self.scene.train_cameras
-        n = len(cams)
+        n = len(self.scene.train_cameras)
         epoch, pos = divmod(it - 1, n)
         perm = random.Random((self.seed << 32) ^ epoch).sample(range(n), n)
-        return cams[perm[pos]]
+        return perm[pos]
+
+    def next_camera(self, it: int) -> Camera:
+        return self.scene.train_cameras[self.next_camera_idx(it)]
 
     def get_batch(self, cam: Camera) -> Batch:
         """Device-resident batch cache: images are uploaded once per camera
@@ -203,6 +207,102 @@ class Trainer:
                              make_batch(cam, self.scene.time_interval, self.bg))
             self._batch_cache[cam.uid] = b
         return b
+
+    # ---- multi-step scan dispatch (TPU perf: amortize tunnel RTT) ----
+    # The axon remote tunnel adds ~1 s of dispatch round-trip per jitted call
+    # (measured: DESIGN.md r4 device step ~620 ms vs ~1700 ms bench wall).
+    # Chunks of tpu.scan_steps non-structural iterations run as ONE jitted
+    # lax.scan over a device-resident stack of all training batches — one
+    # dispatch, one host sync per chunk.  Per-iteration camera ids come from
+    # the same (seed, iteration) schedule and per-iteration RNG keys are
+    # derived IN-GRAPH by the same fold_in(base, it) → split as
+    # run_iteration, so scan and single-step paths run the same stream —
+    # equal up to XLA float reassociation between the scan-body and
+    # straight-line compilations (pinned by
+    # tests/test_train_e2e.py::test_scan_matches_single).
+
+    def _stacked_batches(self):
+        if getattr(self, "_stacked", None) is None:
+            bs = [self.get_batch(c) for c in self.scene.train_cameras]
+            self._stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *bs)
+        return self._stacked
+
+    def _scan_fn(self, flags: StepFlags, k: int):
+        cache = self._step_cache
+        ck = (flags, k)
+        if ck not in cache:
+            ctx = self.ctx
+            base_key = self.base_key
+
+            def fn(state, stacked, cam_ids, its):
+                def body(st, xs):
+                    ci, it_j = xs
+                    batch = jax.tree.map(lambda x: x[ci], stacked)
+                    _, k2, _ = jax.random.split(
+                        jax.random.fold_in(base_key, it_j), 3)
+                    st2, m = train_step(ctx, st, batch, k2, flags, None)
+                    return st2, m
+
+                return jax.lax.scan(body, state, (cam_ids, its))
+
+            donate = (0,) if self.cfg.tpu.donate else ()
+            cache[ck] = jax.jit(fn, donate_argnums=donate)
+        return cache[ck]
+
+    def _is_structural(self, it: int) -> bool:
+        """Iterations with host-side work besides the jitted step (one-shot
+        normal init, densify/prune, opacity reset, anchor) — these must run
+        through run_iteration."""
+        o = self.cfg.optimization
+        if it == o.dpsr_iter:
+            return True
+        f = self.flags_for(it)
+        if f.anchor:
+            return True
+        if f.densify_stats and not f.anchor:
+            if it > o.densify_from_iter and it % o.densification_interval == 0:
+                return True
+            if it % o.opacity_reset_interval == 0 or (
+                    self.cfg.model.white_background
+                    and it == o.densify_from_iter):
+                return True
+        return False
+
+    def _chunk_len(self, it: int, iterations: int, save_at, log_every: int,
+                   image_log_every: int) -> int:
+        """Longest scan chunk starting at `it`: constant flags, no structural
+        iteration inside, and chunk ends ON any save/log boundary so the
+        host-side actions keep their exact iteration."""
+        kmax = min(int(self.cfg.tpu.scan_steps), iterations - it + 1)
+        if kmax <= 1 or self.cfg.model.load2gpu_on_the_fly:
+            return 1
+        f0 = self.flags_for(it)
+        if f0 in self._no_scan:
+            return 1
+        k = 0
+        for j in range(it, it + kmax):
+            if self._is_structural(j) or self.flags_for(j) != f0:
+                break
+            k += 1
+            # boundaries where the host must act AT j: end the chunk there
+            if (j in save_at or j % self.tripwire_every == 0
+                    or j % log_every == 0
+                    or (image_log_every and j % image_log_every == 0)
+                    or j == iterations):
+                break
+        return max(k, 1)
+
+    def run_chunk(self, it: int, k: int):
+        """Run iterations [it, it+k) as one scanned dispatch; returns the
+        per-iteration metrics row of the LAST iteration (host floats)."""
+        flags = self.flags_for(it)
+        cam_ids = jnp.asarray([self.next_camera_idx(j)
+                               for j in range(it, it + k)], jnp.int32)
+        its = jnp.asarray(range(it, it + k), jnp.int32)
+        fn = self._scan_fn(flags, k)
+        self.state, mstack = fn(self.state, self._stacked_batches(),
+                                cam_ids, its)
+        return {kk: vv[-1] for kk, vv in mstack.items()}
 
     def run_iteration(self, it: int):
         o = self.cfg.optimization
@@ -348,8 +448,30 @@ class Trainer:
         save_at = set(save_at or ())
         t0 = time.time()
         window = t0
-        for it in range(first_iter, iterations + 1):
-            metrics = self.run_iteration(it)
+        it = first_iter
+        while it <= iterations:
+            k = self._chunk_len(it, iterations, save_at, log_every,
+                                image_log_every)
+            if k > 1:
+                try:
+                    metrics = self.run_chunk(it, k)
+                    it += k - 1   # per-iteration actions below fire at the
+                                  # chunk's LAST iteration (boundary-aligned)
+                except jax.errors.JaxRuntimeError as e:
+                    # a failed scan compile (e.g. the remote-compile helper
+                    # OOM-killed on the bigger scan program) must not kill a
+                    # multi-hour run: fall back to single-step dispatch for
+                    # this flag-set.  Compile failures happen BEFORE
+                    # execution, so self.state was not donated and is intact.
+                    flags = self.flags_for(it)
+                    self._no_scan.add(flags)
+                    self._step_cache.pop((flags, k), None)
+                    print(f"[{it}] scan dispatch failed "
+                          f"({type(e).__name__}); falling back to "
+                          f"single-step for flags={flags}", flush=True)
+                    metrics = self.run_iteration(it)
+            else:
+                metrics = self.run_iteration(it)
             if it % self.tripwire_every == 0:
                 self._check_tripwires(it, metrics, save_dir)
             if it % log_every == 0 or it == iterations:
@@ -397,4 +519,5 @@ class Trainer:
                 from .checkpoint import save_checkpoint
                 save_checkpoint(self.state, save_dir, it)
                 print(f"[{it}] checkpoint saved", flush=True)
+            it += 1
         return self.metrics_history
