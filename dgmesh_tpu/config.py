@@ -167,6 +167,17 @@ class TpuParams:
                                           # fallback); ~50 ms/step faster on
                                           # clean surfaces, ~35 ms/step slower
                                           # on saturated/noisy fields
+    scoped_vmem_kib: int = 0              # per-program override of the TPU
+                                          # compiler's scoped-VMEM budget
+                                          # (xla_tpu_scoped_vmem_limit_kib;
+                                          # 0 = backend default 16 MiB).  The
+                                          # Pallas mesh-raster backward holds
+                                          # ~30 (K,P) f32 temporaries in VMEM
+                                          # and exceeds 16 MiB at
+                                          # max_faces_per_tile=512 (measured:
+                                          # needs 26.9 MiB); 49152 compiles
+                                          # and runs it.  TPU-only knob —
+                                          # ignored off-TPU
     scan_steps: int = 1                   # iterations fused per dispatch via
                                           # lax.scan (train/loop.py run_chunk):
                                           # amortizes the ~1 s axon tunnel RTT

@@ -131,7 +131,9 @@ def run_testing(cfg: Config, trainer, scene, save_dir: str = None,
     ctx = trainer.ctx
     state = trainer.state
     sh_degree = cfg.model.sh_degree
-    fn = jax.jit(lambda st, b: render_frame(ctx, st, b, sh_degree, with_mesh))
+    from ..utils_jit import jit_options
+    fn = jax.jit(lambda st, b: render_frame(ctx, st, b, sh_degree, with_mesh),
+                 **jit_options(cfg))
 
     # LPIPS alex+vgg for GS and mesh renders when converted weights exist
     # (reference train.py:646-697 + utils/metric_utils.py:18-23)

@@ -170,6 +170,13 @@ class Trainer:
             sh_degree=min(it // 1000, self.cfg.model.sh_degree),
         )
 
+    def _jit_kwargs(self) -> dict:
+        """TPU compiler options for the big step programs (tpu.scoped_vmem_kib
+        raises the scoped-VMEM budget the Pallas mesh-raster backward needs at
+        max_faces_per_tile > 256; see utils_jit.py)."""
+        from ..utils_jit import jit_options
+        return jit_options(self.cfg)
+
     def _step_fn(self, flags: StepFlags):
         if flags not in self._step_cache:
             ctx = self.ctx
@@ -178,7 +185,8 @@ class Trainer:
                 return train_step(ctx, state, batch, key, flags, anchor_info)
 
             donate = (0,) if self.cfg.tpu.donate else ()
-            self._step_cache[flags] = jax.jit(fn, donate_argnums=donate)
+            self._step_cache[flags] = jax.jit(fn, donate_argnums=donate,
+                                              **self._jit_kwargs())
         return self._step_cache[flags]
 
     def next_camera_idx(self, it: int) -> int:
@@ -246,7 +254,8 @@ class Trainer:
                 return jax.lax.scan(body, state, (cam_ids, its))
 
             donate = (0,) if self.cfg.tpu.donate else ()
-            cache[ck] = jax.jit(fn, donate_argnums=donate)
+            cache[ck] = jax.jit(fn, donate_argnums=donate,
+                                **self._jit_kwargs())
         return cache[ck]
 
     def _is_structural(self, it: int) -> bool:
