@@ -364,15 +364,23 @@ class Trainer:
 
     def save_debug_images(self, it: int, out_root: str):
         """Periodic image/mesh dumps (reference: train.py:323-386 →
-        logs/ + logs_geo/)."""
+        logs/ + logs_geo/).  The render MUST be jitted: called bare,
+        render_frame executes the full 800² mesh pipeline op-by-op through
+        the remote tunnel — measured >45 min for ONE dump at quality scale
+        (each eager op is a separate remote compile + dispatch)."""
         from ..eval.testing import render_frame
         from ..utils_io import save_image, write_mesh_ply
         cam = self.scene.train_cameras[0]
         batch = self.get_batch(cam)
         mesh_on = int(self.state.step) >= self.cfg.optimization.dpsr_iter
-        out = render_frame(self.ctx, self.state, batch,
-                           min(int(self.state.step) // 1000,
-                               self.cfg.model.sh_degree), with_mesh=mesh_on)
+        sh = min(int(self.state.step) // 1000, self.cfg.model.sh_degree)
+        rk = ("render_frame", mesh_on, sh)
+        if rk not in self._step_cache:
+            ctx = self.ctx
+            self._step_cache[rk] = jax.jit(
+                lambda st, b: render_frame(ctx, st, b, sh, with_mesh=mesh_on),
+                **self._jit_kwargs())
+        out = self._step_cache[rk](self.state, batch)
         logs = os.path.join(out_root, "logs")
         save_image(os.path.join(logs, f"render_{it:06d}.png"),
                    np.asarray(jnp.clip(out["render"], 0, 1)).transpose(1, 2, 0))
