@@ -123,7 +123,11 @@ class TpuParams:
     max_dup: int = 4_194_304              # capacity of (gaussian, tile) pairs
     max_faces_per_tile: int = 256         # mesh-raster capacity per tile
     max_face_dup: int = 2_097_152         # capacity of (face, tile) pairs
-    mask_sigma: float = 2e-5              # soft-silhouette sharpness (NDC^2 units)
+    mask_sigma: float = 1.0               # soft-silhouette bandwidth in
+                                          # PIXELS (MeshRasterConfig.sigma;
+                                          # was a dead knob mislabeled NDC² —
+                                          # the rasterizer always ran at its
+                                          # own 1.0 px default)
     tile_chunk: int = 64                  # tiles composited per lax.map step
     occ_res: int = 128                    # one-shot normal-init occupancy grid
                                           # (reference mesh_utils.py uses 256;

@@ -77,6 +77,14 @@ def main():
     ap.add_argument("--arms", nargs="+",
                     default=["all", "no_mask", "no_mesh_img", "no_laplacian",
                              "none"])
+    ap.add_argument("--k_faces", type=int, default=0,
+                    help="override max_faces_per_tile (0 = config default); "
+                         "arm-A test: does killing tile-K truncation fix the "
+                         "mask-gradient damage? (VERDICT r4 #1b)")
+    ap.add_argument("--mask_sigma", type=float, default=0.0,
+                    help="override the SoftRas sigma (0 = default 2e-5); "
+                         "arm-B test: is the soft-silhouette gradient scale "
+                         "the damage channel?")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.ds, "transforms_train.json")):
@@ -85,11 +93,15 @@ def main():
                               n_test=1, subdiv=3, n_eval_meshes=0,
                               max_per_tile=1024)
 
-    import jax
     from dgmesh_tpu.data.scene import Scene
     from dgmesh_tpu.train.loop import Trainer
 
     cfg = build(args.ds)
+    if args.k_faces:
+        cfg.tpu.max_faces_per_tile = args.k_faces
+        cfg.tpu.max_face_dup = max(cfg.tpu.max_face_dup, 1 << 17)
+    if args.mask_sigma:
+        cfg.tpu.mask_sigma = args.mask_sigma
     scene = Scene(cfg, shuffle=True)
     trainer = Trainer(cfg, scene)
     o = cfg.optimization
