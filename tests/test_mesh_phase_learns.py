@@ -44,7 +44,12 @@ def mesh_fit(tmp_path_factory):
     cfg.model.data_type = "finetune-nerf"
     cfg.model.is_blender = True
     cfg.model.white_background = False
-    cfg.model.grid_res = 32
+    # grid 24 keeps marching-tets triangles ~3 px at 64², so each 16×16
+    # tile's visible set (≤ #pixels winners) stays well under K=512 and the
+    # raster runs truncation-free — the property DESIGN.md §5c shows is
+    # REQUIRED for the mask gradient to be sane (at grid 32 / K=64 this very
+    # regime reproduces the r4 GS-destruction: img 32→17 dB, |n|→5.1)
+    cfg.model.grid_res = 24
     cfg.model.sh_degree = 1
     cfg.model.gaussian_ratio = 1.2
     o = cfg.optimization
@@ -66,8 +71,8 @@ def mesh_fit(tmp_path_factory):
     t.max_faces = 32768
     t.max_gaussians_per_tile = 128
     t.max_dup = 1 << 15
-    t.max_faces_per_tile = 64
-    t.max_face_dup = 1 << 15
+    t.max_faces_per_tile = 512
+    t.max_face_dup = 1 << 17
     t.tile_chunk = 8
 
     scene = Scene(cfg, shuffle=True)
