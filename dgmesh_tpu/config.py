@@ -142,6 +142,15 @@ class TpuParams:
     use_pallas: bool = False              # fused VMEM splat compositing kernel
                                           # (1.6x faster f+b on v5e; off by
                                           # default so CPU tests use XLA)
+    mr_use_pallas: bool = True            # AND-gated with use_pallas for the
+                                          # MESH raster only: set false to
+                                          # keep the Pallas splat but run the
+                                          # mesh raster through the XLA path
+                                          # (chunked+checkpointed backward —
+                                          # VMEM-safe at any K; ~320 ms/step
+                                          # slower at bench scale).  Fault-
+                                          # isolation lever for TPU worker
+                                          # crashes in the raster backward
     dpsr_div_splat: bool = False          # 2-FFT divergence-splat DPSR path
                                           # (vs 4-FFT spectral; same surface
                                           # under the Gaussian low-pass)

@@ -98,7 +98,8 @@ class StepContext:
         self.mr_cfg = MR.MeshRasterConfig(
             width=width, height=height, tile_h=t.tile_h, tile_w=t.tile_w,
             max_per_tile=t.max_faces_per_tile, max_dup=t.max_face_dup,
-            tile_chunk=t.tile_chunk, use_pallas=t.use_pallas,
+            tile_chunk=t.tile_chunk,
+            use_pallas=t.use_pallas and t.mr_use_pallas,
             sigma=t.mask_sigma, cull_backface=t.mr_cull_backface)
         self.mt_cfg = MTConfig(res=cfg.model.grid_res, max_verts=t.max_verts,
                                max_faces=t.max_faces,
